@@ -1,0 +1,169 @@
+"""Benchmark: Stein-MPC solves/s on one TPU chip vs a torch-CPU reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.md primary metric): 7-DoF arm, H=40, 1k particles, one MPC
+solve = 2 SVGD optimization steps over policy particles (rollout + cost +
+score + kernel + update). The reference publishes no absolute numbers
+(BASELINE.json "published": {}), so the baseline is *measured here*: the same
+math implemented with PyTorch on CPU, per-step Python loop over the horizon —
+the reference's execution model (torch ops, no fusion, per-op dispatch).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+N_POL = 1024
+HZ = 40
+DOF = 7
+OPT_STEPS = 2
+N_SOLVES = 20
+
+
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sigsvgd_tpu.controllers import DuSt
+    from sigsvgd_tpu.kernels import GaussianKernel
+    from sigsvgd_tpu.models.base import DynamicsModel, ParamsDict
+    from sigsvgd_tpu.utils.spaces import Box
+    import dataclasses
+
+    @dataclasses.dataclass(frozen=True)
+    class ArmModel(DynamicsModel):
+        """7-DoF joint-velocity integrator (kinematic arm in joint space)."""
+
+        @property
+        def observation_space(self) -> Box:
+            return Box.create(DOF, low=-3.0, high=3.0)
+
+        @property
+        def action_space(self) -> Box:
+            return Box.create(DOF, low=-2.0, high=2.0)
+
+        def step(self, states, actions, params: ParamsDict = None, key=None):
+            acts = jnp.clip(actions, -2.0, 2.0)
+            return jnp.clip(states + acts * self.dt, -3.0, 3.0)
+
+    model = ArmModel(dt=0.05)
+    target = jnp.ones((DOF,)) * 1.5
+
+    def inst_cost(states, actions=None, **_):
+        c = jnp.sum((states - target) ** 2, axis=-1)
+        if actions is not None:
+            c = c + 0.01 * jnp.sum(actions * actions, axis=-1)
+        return c
+
+    def term_cost(states, **_):
+        return 10.0 * jnp.sum((states - target) ** 2, axis=-1)
+
+    ctrl = DuSt(
+        model=model,
+        hz_len=HZ,
+        n_pol=N_POL,
+        n_action_samples=0,
+        kernel_mode="policy",
+        kernel=GaussianKernel(),
+        optimizer=optax.adam(0.1),
+        pol_hyper_prior=True,
+        inst_cost_fn=inst_cost,
+        term_cost_fn=term_cost,
+    )
+    key = jax.random.PRNGKey(0)
+    cstate = ctrl.init(key)
+    state = jnp.zeros((DOF,))
+
+    @jax.jit
+    def solve(state, cstate, key):
+        a_seq, new_cstate, _ = ctrl.forward(state, cstate, None, key, opt_steps=OPT_STEPS)
+        nxt = model.step(state[None], a_seq[0:1])[0]
+        return nxt, new_cstate
+
+    # warmup / compile
+    s, c = solve(state, cstate, key)
+    jax.block_until_ready((s, c))
+    t0 = time.perf_counter()
+    for i in range(N_SOLVES):
+        s, c = solve(s, c, jax.random.fold_in(key, i))
+    jax.block_until_ready((s, c))
+    dt = time.perf_counter() - t0
+    return N_SOLVES / dt
+
+
+def bench_torch_cpu(n_solves: int = 3) -> float:
+    """Reference-style implementation: torch CPU, Python horizon loop, per-op
+    dispatch — mirrors the reference's DuSt/SVGD execution model."""
+    import torch
+
+    torch.manual_seed(0)
+    target = torch.ones(DOF) * 1.5
+    pol = torch.empty(N_POL, HZ, DOF).uniform_(-2, 2)
+    state = torch.zeros(DOF)
+    adam_m = torch.zeros_like(pol)
+    adam_v = torch.zeros_like(pol)
+    step_count = 0
+
+    def rollout_costs(p):
+        states = state.expand(N_POL, DOF).clone()
+        cost = torch.zeros(N_POL)
+        for t in range(HZ):
+            acts = p[:, t].clamp(-2, 2)
+            states = (states + acts * 0.05).clamp(-3, 3)
+            cost = cost + ((states - target) ** 2).sum(-1) + 0.01 * (acts**2).sum(-1)
+        cost = cost + 10.0 * ((states - target) ** 2).sum(-1)
+        return cost
+
+    t0 = time.perf_counter()
+    for _ in range(n_solves):
+        for _ in range(OPT_STEPS):
+            p = pol.detach().requires_grad_(True)
+            cost = rollout_costs(p)
+            log_lik = -(cost - cost.min().detach())
+            (grad_lik,) = torch.autograd.grad(log_lik.sum(), p)
+            x = pol.reshape(N_POL, -1)
+            d2 = torch.cdist(x, x) ** 2
+            h = (d2.median() / torch.log(torch.tensor(N_POL + 1.0))).sqrt().clamp_min(1e-8)
+            k = torch.exp(-0.5 * d2 / h**2)
+            dk = -torch.einsum("nm,nmd->nd", k, (x[:, None] - x[None]) / h**2)
+            phi = (k @ (grad_lik.reshape(N_POL, -1)) - dk) / N_POL
+            grad = -phi.reshape(pol.shape)
+            step_count += 1
+            adam_m.mul_(0.9).add_(grad, alpha=0.1)
+            adam_v.mul_(0.999).addcmul_(grad, grad, value=0.001)
+            m_hat = adam_m / (1 - 0.9**step_count)
+            v_hat = adam_v / (1 - 0.999**step_count)
+            pol = pol - 0.1 * m_hat / (v_hat.sqrt() + 1e-8)
+        # pick best + roll
+        costs = rollout_costs(pol)
+        a_seq = pol[costs.argmin()]
+        state = (state + a_seq[0].clamp(-2, 2) * 0.05).clamp(-3, 3)
+        pol = torch.roll(pol, -1, dims=1)
+        pol[:, -1] = pol[:, -2]
+    dt = time.perf_counter() - t0
+    return n_solves / dt
+
+
+def main():
+    tpu_rate = bench_tpu()
+    try:
+        cpu_rate = bench_torch_cpu()
+    except Exception:
+        cpu_rate = None
+    vs = (tpu_rate / cpu_rate) if cpu_rate else None
+    print(
+        json.dumps(
+            {
+                "metric": "mpc_solves_per_s_1chip_7dof_h40_1kpart",
+                "value": round(tpu_rate, 3),
+                "unit": "solves/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

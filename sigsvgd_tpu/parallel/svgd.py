@@ -1,0 +1,206 @@
+"""Sharded SVGD: particles distributed over a mesh axis, XLA collectives on ICI.
+
+The SVGD velocity ``φ = (K s − ∇K)/N`` is a row-sharded matmul: each device
+owns a block of particles, ``all_gather``s the (much smaller) particle/score
+tensors, computes its ``[n_local, N]`` Gram rows + its own aggregated kernel
+gradients, and applies local optimizer updates. Cost/score evaluation
+(rollouts, FK, collision nets) is embarrassingly parallel over the local
+block — the expensive part never moves over the interconnect.
+
+Sharded score functions return LOCAL ROWS: ``grad_log_p [n_local, ...]``,
+optional ``k_xx [n_local, N]`` (Gram rows) and ``grad_k [n_local, ...]``.
+
+This layer is new relative to the reference, which has no distributed
+communication at all (SURVEY.md §5.8): its multi-GPU story is one process per
+scene with zero inter-process communication.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..inference.svgd import SVGD, RunData, ScoreResult
+from ..kernels import SignatureKernel
+
+
+def distributed_median(vals_local: jax.Array, axis: str, iters: int = 40) -> jax.Array:
+    """Exact-to-fp32 median of values sharded over ``axis``.
+
+    Bisection on the value range with psum'd rank counts: ~``iters`` scalar
+    all-reduces instead of gathering the full tensor. Interpolates the two
+    middle order statistics like ``jnp.median`` so the sharded bandwidth
+    matches the single-device one bit-for-bit up to fp tolerance.
+    """
+    v = vals_local.reshape(-1)
+    n_total = lax.psum(v.shape[0], axis)
+    k_lo = (n_total - 1) // 2  # 0-indexed lower-middle order statistic
+    k_hi = n_total // 2
+    ks = jnp.asarray([k_lo, k_hi])
+
+    lo = jnp.full((2,), lax.pmin(jnp.min(v), axis))
+    hi = jnp.full((2,), lax.pmax(jnp.max(v), axis))
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        cnt = lax.psum(jnp.sum(v[None, :] <= mid[:, None], axis=1), axis)
+        go_down = cnt >= ks + 1  # kth order stat lies at or below mid
+        return jnp.where(go_down, lo, mid), jnp.where(go_down, mid, hi)
+
+    lo, hi = lax.fori_loop(0, iters, body, (lo, hi))
+    return 0.5 * (hi[0] + hi[1])
+
+
+def _velocity_local(
+    svgd: SVGD, x_local: jax.Array, score: ScoreResult, step: jax.Array, axis: str
+) -> Tuple[jax.Array, jax.Array]:
+    """Stein velocity for the local particle block (runs inside shard_map)."""
+    n_local = x_local.shape[0]
+    xf = x_local.reshape(n_local, -1)
+    s = score.grad_log_p.reshape(n_local, -1)
+    if svgd.log_prior is not None:
+        prior_grad = jax.grad(lambda xx: jnp.sum(svgd.log_prior(xx)))(x_local)
+        s = s + prior_grad.reshape(n_local, -1)
+    s_all = lax.all_gather(s, axis, tiled=True)  # [N, D]
+    n_total = s_all.shape[0]
+
+    if score.k_xx is not None and score.grad_k is not None:
+        k_rows = score.k_xx  # [n_local, N]
+        grad_k = score.grad_k.reshape(n_local, -1)
+    else:
+        x_all = lax.all_gather(xf, axis, tiled=True)  # [N, D]
+        from ..utils.math import pw_dist_sq
+
+        d2 = pw_dist_sq(xf, x_all)
+        if svgd.kernel.bandwidth_fn is not None:
+            h = svgd.kernel.bandwidth_fn(d2)
+        else:
+            # exact median-heuristic bandwidth over the *global* d² matrix —
+            # every shard must agree for the Gram to be consistent
+            med = distributed_median(d2, axis)
+            h = jnp.maximum(
+                svgd.kernel.bw_scale * jnp.sqrt(med / jnp.log(s_all.shape[0] + 1.0)),
+                1e-8,
+            )
+        k_rows, grad_k = svgd.kernel(xf, x_all, h=h)
+
+    if svgd.repulsion_schedule is not None:
+        grad_k = grad_k * svgd.repulsion_schedule(step)
+
+    phi = (k_rows @ s_all - grad_k) / n_total
+    phi = phi.reshape(x_local.shape)
+    if svgd.gradient_mask is not None:
+        phi = phi * svgd.gradient_mask  # caller passes the local mask block
+    loss = score.loss if score.loss is not None else jnp.linalg.norm(s)
+    return phi, loss
+
+
+def sharded_svgd_run(
+    svgd: SVGD,
+    particles: jax.Array,
+    score_fn: Callable[[jax.Array, jax.Array], ScoreResult],
+    n_steps: int,
+    mesh: Mesh,
+    key: Optional[jax.Array] = None,
+    axis: str = "dp",
+) -> Tuple[jax.Array, jax.Array]:
+    """Run ``n_steps`` of SVGD with particles sharded over ``mesh[axis]``.
+
+    ``score_fn(x_local, key) -> ScoreResult`` is evaluated per shard and may
+    itself use collectives (see :func:`sharded_pathsig_score`). Returns
+    ``(final_particles, per-step losses)``; identical (up to fp reordering) to
+    the single-device :meth:`SVGD.run` — asserted in tests/test_parallel.py.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = particles.shape[0]
+    ndev = mesh.shape[axis]
+    assert n % ndev == 0, f"particles ({n}) must divide mesh axis ({ndev})"
+    keys = jax.random.split(key, n_steps)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(axis), P()),
+        check_rep=False,
+    )
+    def run_local(x_local, keys):
+        state = svgd.init(x_local)
+
+        def body(carry, step_key):
+            x, st = carry
+            score = score_fn(x, step_key)
+            phi, loss = _velocity_local(svgd, x, score, st.step, axis)
+            grad = -phi
+            if svgd.optimizer is not None:
+                updates, opt_state = svgd.optimizer.update(grad, st.opt_state, x)
+                x_new = optax.apply_updates(x, updates)
+            elif svgd.adagrad:
+                inertia = st.opt_state + grad**2
+                x_new = x - svgd.lr * grad / jnp.sqrt(inertia + 1e-12)
+                opt_state = inertia
+            else:
+                x_new = x - svgd.lr * grad
+                opt_state = st.opt_state
+            from ..inference.svgd import SVGDState
+
+            # one global scalar loss per step (psum over shards)
+            loss_scalar = lax.psum(jnp.sum(jnp.atleast_1d(loss)), axis)
+            return (x_new, SVGDState(opt_state, st.step + 1)), loss_scalar
+
+        (x_final, _), losses = lax.scan(body, (x_local, state), keys)
+        return x_final, losses
+
+    x_final, losses = run_local(particles, keys)
+    return x_final, losses
+
+
+def sharded_pathsig_score(
+    cost_fn: Callable,
+    sig_kernel: SignatureKernel,
+    axis: str = "dp",
+    paths_of: Optional[Callable[[jax.Array], jax.Array]] = None,
+):
+    """Signature-kernel score with a row-sharded Gram.
+
+    Each shard all_gathers the (small) path tensor, solves the Goursat PDE for
+    its ``[n_local, N]`` block of pairs, and differentiates the block sum
+    w.r.t. its local particles only — exactly the rows the sharded velocity
+    needs. Communication: one all_gather of ``[N, L, C]`` paths per step.
+
+    ``paths_of`` maps particles to the paths entering the kernel (default:
+    particles are the paths, as in knot-space planning).
+    """
+    paths_of = paths_of or (lambda x: x)
+
+    def score(x_local, key):
+        def total_cost(xl):
+            c, aux = cost_fn(xl)
+            return jnp.sum(c), (c, aux)
+
+        (_, (cost, aux)), grad_c = jax.value_and_grad(total_cost, has_aux=True)(
+            x_local
+        )
+        tau_local = paths_of(x_local)
+        tau_all = lax.stop_gradient(
+            lax.all_gather(tau_local, axis, tiled=True)
+        )  # [N, L, C]
+
+        def gram_sum(xl):
+            return jnp.sum(sig_kernel.gram(paths_of(xl), tau_all))
+
+        k_rows = sig_kernel.gram(tau_local, tau_all)  # [n_local, N]
+        grad_k = jax.grad(gram_sum)(x_local)
+        return ScoreResult(
+            grad_log_p=-grad_c, k_xx=k_rows, grad_k=grad_k, loss=cost, aux=aux
+        )
+
+    return score

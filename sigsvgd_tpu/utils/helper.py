@@ -1,0 +1,62 @@
+"""Experiment helpers: seeding, project paths, artifact saving.
+
+Counterpart of reference ``src/utils/helper.py:10-114`` — PRNG handling is
+explicit JAX keys (no global seeding needed for determinism under jit).
+"""
+from __future__ import annotations
+
+import json
+import pickle
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+
+def generate_seeds(n: int, root_seed: int = 42) -> List[int]:
+    """Deterministic list of experiment seeds."""
+    rng = np.random.default_rng(root_seed)
+    return [int(s) for s in rng.integers(0, 2**31 - 1, size=n)]
+
+
+def seed_key(seed: int) -> jax.Array:
+    return jax.random.PRNGKey(seed)
+
+
+def get_project_root() -> Path:
+    return Path(__file__).resolve().parents[2]
+
+
+def _to_numpy(x):
+    if isinstance(x, (jax.Array, np.ndarray)):
+        return np.asarray(x)
+    if isinstance(x, dict):
+        return {k: _to_numpy(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return type(x)(_to_numpy(v) for v in x)
+    return x
+
+
+def save_progress(
+    folder_name: Path,
+    data: Optional[Dict[str, Any]] = None,
+    config: Optional[Dict[str, Any]] = None,
+) -> Path:
+    """Persist experiment artifacts: ``data.pkl`` (numpy-ified pytrees) and
+    ``config.json`` (parity with reference ``helper.py:42-100``, minus the
+    dill session dump)."""
+    folder = Path(folder_name)
+    folder.mkdir(parents=True, exist_ok=True)
+    if data is not None:
+        with open(folder / "data.pkl", "wb") as f:
+            pickle.dump(_to_numpy(data), f)
+    if config is not None:
+        with open(folder / "config.json", "w") as f:
+            json.dump(config, f, indent=2, default=str)
+    return folder
+
+
+def load_progress(folder_name: Path) -> Dict[str, Any]:
+    with open(Path(folder_name) / "data.pkl", "rb") as f:
+        return pickle.load(f)

@@ -1,0 +1,105 @@
+"""Goursat-PDE signature-kernel tests.
+
+Oracles:
+  1. a naive fp64 numpy row-by-row PDE solver (same finite-difference scheme),
+  2. the truncated-signature inner product (linear static kernel): for smooth
+     short paths  k_sig(x, y) ≈ <S(x), S(y)> summed over levels (+1 for the
+     empty word) — the cross-validation the reference does in
+     ``examples/test_pathsig_kernel.ipynb``.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sigsvgd_tpu.kernels import (
+    SignatureKernel,
+    batch_signature,
+    gram_increments,
+    solve_goursat_pde,
+    static_gram_linear,
+)
+
+
+def _naive_pde(inc, lam):
+    """fp64 row-major reference solver (O(G²) sequential)."""
+    inc = np.asarray(inc, np.float64) / 4.0**lam
+    lx, ly = inc.shape
+    gx, gy = lx * 2**lam, ly * 2**lam
+    k = np.ones((gx + 1, gy + 1))
+    for i in range(1, gx + 1):
+        for j in range(1, gy + 1):
+            z = inc[(i - 1) >> lam, (j - 1) >> lam]
+            a = 1 + 0.5 * z + z * z / 12
+            b = 1 - z * z / 12
+            k[i, j] = (k[i, j - 1] + k[i - 1, j]) * a - k[i - 1, j - 1] * b
+    return k[gx, gy]
+
+
+def test_wavefront_matches_naive_solver(rng):
+    for lam in (0, 1, 2):
+        inc = rng.standard_normal((3, 5, 5)).astype(np.float32) * 0.1
+        got = np.asarray(solve_goursat_pde(jnp.asarray(inc), lam))
+        want = np.array([_naive_pde(inc[b], lam) for b in range(3)])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_rectangular_grids(rng):
+    inc = rng.standard_normal((2, 4, 7)).astype(np.float32) * 0.1
+    got = np.asarray(solve_goursat_pde(jnp.asarray(inc), 1))
+    want = np.array([_naive_pde(inc[b], 1) for b in range(2)])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_zero_path_gives_one():
+    """k(x, y) = 1 when either path is constant (empty signature)."""
+    inc = jnp.zeros((1, 6, 6))
+    np.testing.assert_allclose(np.asarray(solve_goursat_pde(inc, 3)), 1.0, atol=1e-6)
+
+
+def test_matches_truncated_signature_inner_product(rng):
+    """Linear static kernel ↔ <S(x), S(y)> cross-check (short smooth paths so
+    depth-6 truncation captures essentially the whole kernel)."""
+    x = rng.standard_normal((4, 6, 2)).astype(np.float32) * 0.3
+    xj = jnp.asarray(x)
+    g = static_gram_linear(xj, xj)
+    inc = gram_increments(g).reshape(16, 5, 5)
+    pde = np.asarray(solve_goursat_pde(inc, 4)).reshape(4, 4)
+
+    sigs = np.asarray(batch_signature(xj, depth=6, basepoint=False))
+    trunc = 1.0 + sigs @ sigs.T  # +1 for the empty word
+    np.testing.assert_allclose(pde, trunc, rtol=2e-3, atol=2e-3)
+
+
+def test_signature_kernel_gram_properties(rng):
+    paths = jnp.asarray(rng.standard_normal((5, 7, 2)).astype(np.float32))
+    kern = SignatureKernel(dyadic_order=2, bandwidth=1.0)
+    k = kern.gram(paths, paths)
+    assert k.shape == (5, 5)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(k).T, rtol=1e-4, atol=1e-5)
+    # PSD-ish: eigenvalues non-negative up to numerical tolerance
+    eig = np.linalg.eigvalsh(np.asarray(k, np.float64))
+    assert eig.min() > -1e-4
+
+
+def test_signature_kernel_grad_finite_difference(rng):
+    paths = jnp.asarray(rng.standard_normal((3, 5, 2)).astype(np.float32) * 0.5)
+    kern = SignatureKernel(dyadic_order=2, bandwidth=2.0)
+    k, dk = kern.gram_and_grad(paths)
+    assert dk.shape == paths.shape
+    eps = 1e-2
+    ref = jax.lax.stop_gradient(paths)
+
+    def total(p):
+        return float(jnp.sum(kern.gram(p, ref)))
+
+    fd = (total(paths.at[1, 2, 0].add(eps)) - total(paths.at[1, 2, 0].add(-eps))) / (
+        2 * eps
+    )
+    np.testing.assert_allclose(float(dk[1, 2, 0]), fd, rtol=5e-2, atol=1e-3)
+
+
+def test_median_bandwidth_path(rng):
+    paths = jnp.asarray(rng.standard_normal((4, 6, 2)).astype(np.float32))
+    kern = SignatureKernel(dyadic_order=2)  # median heuristic
+    k = kern.gram(paths, paths)
+    assert np.isfinite(np.asarray(k)).all()
