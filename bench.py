@@ -23,6 +23,11 @@ N_SOLVES = 20
 
 def bench_tpu() -> float:
     import jax
+
+    # persistent compilation cache: the 1k-particle DuSt program takes minutes
+    # to compile through the remote-compile tunnel; cache it across runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sigsvgd_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     import jax.numpy as jnp
     import optax
 

@@ -1,0 +1,241 @@
+"""Open-loop arm trajectory optimization: spline knots as Stein particles.
+
+Counterpart of the reference flagship ``examples/script_planning_robot.py``
+(``batch_cost_function`` at ``:248-356``, ``run_optimisation`` at ``:359-479``):
+free knot configurations are the SVGD particles; each particle expands through
+a natural cubic spline into a T-step joint trajectory, FK maps it to link
+positions, and the cost combines learned (or exact-SDF) collision, learned
+self-collision, weighted joint+EE path length, and EE spline curvature.
+
+The whole per-iteration pipeline — spline solve, FK over batch×T, MLP
+evaluation over batch×T×body-points, signature-kernel Gram + its VJP, SVGD
+update — compiles into ONE XLA program per optimization run (``lax.scan``
+over iterations).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..inference import SVGD
+from ..inference.score import pathsig_score, sgd_score, svgd_score
+from ..kernels import GaussianKernel, SignatureKernel
+from ..models.robot.panda import PandaRobot
+from ..models.robot.scene import Scene, scene_sdf
+from ..utils import schedulers
+from ..utils.math import safe_norm, smoothed_box_log_prob
+from ..utils.splines import (
+    natural_cubic_spline_coeffs,
+    spline_derivative,
+    spline_trajectory,
+)
+
+
+def create_body_points(xs: jax.Array, n_pts: int = 10) -> jax.Array:
+    """Interpolate points along each arm segment: ``[..., L, 3] →
+    [..., (L-1)*n_pts, 3]`` (parity: ``script_planning_robot.py:241-245``)."""
+    frac = jnp.linspace(0.0, 1.0, n_pts, endpoint=False)
+    seg0 = xs[..., :-1, None, :]
+    seg1 = xs[..., 1:, None, :]
+    pts = seg0 + frac[:, None] * (seg1 - seg0)
+    return pts.reshape(xs.shape[:-2] + (-1, 3))
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class PlanningProblem:
+    """Static description of one planning instance."""
+
+    robot: PandaRobot
+    q_start: jax.Array  # [dof]
+    q_target: jax.Array  # [dof]
+    occupancy_fn: Callable[[jax.Array], jax.Array]  # [..., 3] -> [...] prob
+    self_collision_fn: Optional[Callable[[jax.Array], jax.Array]] = None
+    timesteps: int = 200
+    n_body_points: int = 10
+    w_collision: float = 1.0
+    w_self_collision: float = 10.0
+    w_trajdist: float = 2.5
+    w_curvature: float = 1.0
+
+    def batch_cost(self, x: jax.Array) -> Tuple[jax.Array, Dict[str, Any]]:
+        """Cost of knot particles ``x [batch, n_knots, dof]`` → ``[batch]``
+        (parity: ``batch_cost_function``, ``script_planning_robot.py:248-356``).
+        """
+        batch = x.shape[0]
+        knots = jnp.concatenate(
+            [
+                jnp.broadcast_to(self.q_start, (batch, 1, x.shape[-1])),
+                x,
+                jnp.broadcast_to(self.q_target, (batch, 1, x.shape[-1])),
+            ],
+            axis=1,
+        )
+        qs = spline_trajectory(knots, self.timesteps)  # [batch, T, dof]
+        xs = self.robot.qs_to_joints_xs(qs)  # [batch, T, L, 3]
+        ee_xs = xs[..., -1, :]  # [batch, T, 3]
+
+        # weighted joint-space + EE path length (:277-285)
+        q_weights = jnp.linspace(1.0, 0.7, qs.shape[-1])
+        qs_dist = safe_norm(q_weights * (qs[:, 1:] - qs[:, :-1])).sum(-1)
+        ee_dist = safe_norm(ee_xs[:, 1:] - ee_xs[:, :-1]).sum(-1)
+        traj_dist = qs_dist + ee_dist
+
+        # environment collision: mean over body points, summed over T (:302-317)
+        body = create_body_points(xs, self.n_body_points)  # [batch, T, P, 3]
+        occ = self.occupancy_fn(body)
+        col_prob = occ.mean(-1).sum(-1)
+
+        # self-collision (:319-321)
+        if self.self_collision_fn is not None:
+            self_col = self.self_collision_fn(qs).sum(-1)
+        else:
+            self_col = jnp.zeros((batch,), x.dtype)
+
+        # EE curvature from spline second derivatives (:323-332)
+        t_knots = jnp.linspace(0.0, 1.0, self.timesteps)
+        spline = natural_cubic_spline_coeffs(t_knots, ee_xs)
+        tq = jnp.linspace(0.0, 1.0, 50)
+        d1 = spline_derivative(spline, tq, 1)
+        d2 = spline_derivative(spline, tq, 2)
+        cross = jnp.cross(d1, d2)
+        curvature = safe_norm(cross) / (safe_norm(d1) ** 3 + 1e-6)
+        curvature = curvature.mean()
+
+        cost = (
+            self.w_collision * col_prob
+            + self.w_self_collision * self_col
+            + self.w_trajdist * traj_dist
+            + self.w_curvature * curvature
+        )
+        aux = {
+            "costs_col": self.w_collision * col_prob,
+            "costs_self_col": self.w_self_collision * self_col,
+            "costs_dist": traj_dist,
+            "costs_curvature": jnp.broadcast_to(
+                self.w_curvature * curvature, cost.shape
+            ),
+        }
+        return cost, aux
+
+
+def sdf_occupancy(scene: Scene, sharpness: float = 50.0):
+    """Exact-SDF soft occupancy (sigmoid of negative distance) — a drop-in
+    for the learned occupancy MLP when no training data/weights exist."""
+
+    def occ(x):
+        return jax.nn.sigmoid(-sharpness * scene_sdf(scene, x))
+
+    return occ
+
+
+@dataclasses.dataclass(frozen=True)
+class PlannerConfig:
+    """Hyperparameters (defaults = reference flagship run,
+    ``script_planning_robot.py:509-531``)."""
+
+    method: str = "pathsig"  # pathsig | svgd | sgd | ps_sgd
+    n_iter: int = 500
+    batch: int = 20
+    length: int = 5  # total knots incl. endpoints
+    lr: float = 1e-3
+    pathsig_bw: float = 1.5
+    svgd_bw: float = 1.5
+    depth: int = 6  # dyadic order of the PDE sig-kernel
+    timesteps: int = 200
+
+
+def run_optimisation(
+    problem: PlanningProblem,
+    config: PlannerConfig,
+    key: jax.Array,
+    x0: Optional[jax.Array] = None,
+):
+    """SVGD trajectory optimization (parity: ``run_optimisation``,
+    ``script_planning_robot.py:359-479``). Returns ``(final knots, RunData)``.
+    """
+    lower, upper = problem.robot.joint_limits()
+    n_free = config.length - 2
+    if x0 is None:
+        x0 = jax.random.uniform(
+            key, (config.batch, n_free, problem.robot.dof), minval=lower, maxval=upper
+        )
+
+    schedule = schedulers.cosine(
+        1.0, 0.0, 3 * config.n_iter // 4, config.n_iter // 4
+    )
+
+    def log_prior(x):
+        return smoothed_box_log_prob(x, lower, upper, 0.1).sum(-1)
+
+    if config.method == "svgd":
+        kernel = GaussianKernel(bandwidth_fn=lambda _: config.svgd_bw)
+        score = svgd_score(problem.batch_cost, kernel)
+    elif config.method == "sgd":
+        score = sgd_score(problem.batch_cost)
+    else:  # pathsig / ps_sgd
+        kernel = SignatureKernel(
+            dyadic_order=config.depth, bandwidth=config.pathsig_bw
+        )
+        score = pathsig_score(problem.batch_cost, kernel)
+
+    svgd = SVGD(
+        optimizer=None,
+        lr=config.lr,
+        log_prior=log_prior,
+        repulsion_schedule=schedule,
+    )
+
+    if config.method == "ps_sgd":
+        # pathsig warmup then plain SGD refinement (:431-443)
+        n_warm = config.n_iter - config.n_iter // 4
+        x_mid, state, data1 = svgd.run(x0, score, n_warm, key=key)
+        x_final, _, data2 = svgd.run(
+            x_mid, sgd_score(problem.batch_cost), config.n_iter // 4, key=key,
+            state=state,
+        )
+        return x_final, (data1, data2)
+
+    x_final, _, data = svgd.run(x0, score, config.n_iter, key=key)
+    return x_final, data
+
+
+# ---------------------------------------------------------------------------
+# Success metrics (parity: examples/compile_robot_results.py:22-41)
+# ---------------------------------------------------------------------------
+
+
+def evaluate_trajectory(
+    problem: PlanningProblem, x: jax.Array, threshold: float = 0.2
+) -> Dict[str, jax.Array]:
+    """Per-particle success metrics: max occ-prob, max self-collision prob,
+    EE path length; success ⇔ both maxima ≤ threshold."""
+    batch = x.shape[0]
+    knots = jnp.concatenate(
+        [
+            jnp.broadcast_to(problem.q_start, (batch, 1, x.shape[-1])),
+            x,
+            jnp.broadcast_to(problem.q_target, (batch, 1, x.shape[-1])),
+        ],
+        axis=1,
+    )
+    qs = spline_trajectory(knots, problem.timesteps)
+    xs = problem.robot.qs_to_joints_xs(qs)
+    body = create_body_points(xs, problem.n_body_points)
+    max_occ = problem.occupancy_fn(body).max(axis=(-1, -2))
+    if problem.self_collision_fn is not None:
+        max_self = problem.self_collision_fn(qs).max(axis=-1)
+    else:
+        max_self = jnp.zeros((batch,))
+    ee = xs[..., -1, :]
+    ee_len = jnp.linalg.norm(ee[:, 1:] - ee[:, :-1], axis=-1).sum(-1)
+    success = (max_occ <= threshold) & (max_self <= threshold)
+    return {
+        "max_occ": max_occ,
+        "max_self_collision": max_self,
+        "ee_path_length": ee_len,
+        "success": success,
+    }

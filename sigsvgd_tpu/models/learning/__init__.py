@@ -1,0 +1,1 @@
+from .mlp import ProbMLP, ProbModel, train_prob_model  # noqa: F401

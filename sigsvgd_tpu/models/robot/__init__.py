@@ -1,0 +1,3 @@
+from .kinematics import fk_poses, fk_positions  # noqa: F401
+from .panda import PandaRobot  # noqa: F401
+from .urdf import KinematicChain, parse_urdf  # noqa: F401

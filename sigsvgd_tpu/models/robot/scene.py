@@ -1,0 +1,273 @@
+"""Scenes: primitive obstacle worlds with exact signed-distance fields.
+
+Counterpart of reference ``src/models/robot/robot_scene.py`` (MoveIt-style
+YAML scenes + pybullet bodies). The reference's scene *data* (meshes/datasets
+under ``robodata/``, fetched by its Makefile) is not redistributable, so this
+module makes the pipeline self-contained:
+
+  * a scene is a list of posed primitives (box / sphere / cylinder / capsule),
+  * the exact SDF is a pure jittable function — it is simultaneously the
+    ground-truth collision oracle (pybullet's role as verifier/labeler) and
+    the generator of occupancy-map training data,
+  * YAML load/save for scene + path-request files.
+
+SDF queries over ``batch × timesteps × body-points`` vectorize into a handful
+of fused elementwise ops on TPU.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils.math import safe_norm
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover
+    yaml = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Primitive:
+    """A posed primitive. ``kind`` ∈ {box, sphere, cylinder, capsule}.
+
+    ``size``: box → (sx, sy, sz) full extents; sphere → (r,); cylinder/capsule
+    → (r, half_height). ``rot`` is a row-major 3×3 world-from-local rotation.
+    """
+
+    kind: str
+    position: Tuple[float, float, float]
+    size: Tuple[float, ...]
+    rot: Tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    name: str
+    primitives: Tuple[Primitive, ...]
+    workspace_low: Tuple[float, float, float] = (-1.0, -1.0, 0.0)
+    workspace_high: Tuple[float, float, float] = (1.0, 1.0, 1.5)
+
+
+def _primitive_sdf(p: Primitive, x: jax.Array) -> jax.Array:
+    """Signed distance of points ``x [..., 3]`` to one primitive."""
+    pos = jnp.asarray(p.position, x.dtype)
+    rot = jnp.asarray(p.rot, x.dtype).reshape(3, 3)
+    local = jnp.einsum("ij,...j->...i", rot.T, x - pos)
+    if p.kind == "box":
+        half = jnp.asarray(p.size, x.dtype) / 2.0
+        q = jnp.abs(local) - half
+        outside = safe_norm(jnp.maximum(q, 0.0))
+        inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+        return outside + inside
+    if p.kind == "sphere":
+        return safe_norm(local) - p.size[0]
+    if p.kind == "cylinder":
+        r, hh = p.size[0], p.size[1]
+        d_r = safe_norm(local[..., :2]) - r
+        d_z = jnp.abs(local[..., 2]) - hh
+        q = jnp.stack([d_r, d_z], axis=-1)
+        outside = safe_norm(jnp.maximum(q, 0.0))
+        inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+        return outside + inside
+    if p.kind == "capsule":
+        r, hh = p.size[0], p.size[1]
+        z = jnp.clip(local[..., 2], -hh, hh)
+        closest = jnp.stack(
+            [jnp.zeros_like(z), jnp.zeros_like(z), z], axis=-1
+        )
+        return safe_norm(local - closest) - r
+    raise ValueError(f"Unknown primitive kind: {p.kind}")
+
+
+def scene_sdf(scene: Scene, x: jax.Array) -> jax.Array:
+    """Exact scene SDF: min over primitives. ``x [..., 3] → [...]``."""
+    if not scene.primitives:
+        return jnp.full(x.shape[:-1], jnp.inf, x.dtype)
+    ds = jnp.stack([_primitive_sdf(p, x) for p in scene.primitives], axis=0)
+    return jnp.min(ds, axis=0)
+
+
+def scene_occupancy(scene: Scene, x: jax.Array, margin: float = 0.0) -> jax.Array:
+    """Hard {0,1} occupancy label at points ``x`` (ground truth for training
+    the occupancy MLP and for trajectory verification)."""
+    return (scene_sdf(scene, x) <= margin).astype(jnp.float32)
+
+
+def sample_occupancy_dataset(
+    scene: Scene, key: jax.Array, n: int, margin: float = 0.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Uniform workspace samples + exact labels → occupancy training data
+    (replaces the reference's per-scene CSV point clouds,
+    ``continuous_occupancy_map.py:84-125``)."""
+    low = jnp.asarray(scene.workspace_low)
+    high = jnp.asarray(scene.workspace_high)
+    pts = jax.random.uniform(key, (n, 3), minval=low, maxval=high)
+    labels = scene_occupancy(scene, pts, margin)
+    return np.asarray(pts), np.asarray(labels)
+
+
+# ---------------------------------------------------------------------------
+# YAML round-trip (MoveIt-ish flavor of the reference's scene files,
+# robot_scene.py:325-385).
+# ---------------------------------------------------------------------------
+
+
+def scene_to_dict(scene: Scene) -> dict:
+    return {
+        "name": scene.name,
+        "workspace": {
+            "low": list(scene.workspace_low),
+            "high": list(scene.workspace_high),
+        },
+        "primitives": [
+            {
+                "kind": p.kind,
+                "position": list(p.position),
+                "size": list(p.size),
+                "rot": list(p.rot),
+            }
+            for p in scene.primitives
+        ],
+    }
+
+
+def scene_from_dict(d: dict) -> Scene:
+    return Scene(
+        name=d.get("name", "scene"),
+        primitives=tuple(
+            Primitive(
+                kind=p["kind"],
+                position=tuple(p["position"]),
+                size=tuple(p["size"]),
+                rot=tuple(p.get("rot", (1, 0, 0, 0, 1, 0, 0, 0, 1))),
+            )
+            for p in d.get("primitives", [])
+        ),
+        workspace_low=tuple(d.get("workspace", {}).get("low", (-1, -1, 0))),
+        workspace_high=tuple(d.get("workspace", {}).get("high", (1, 1, 1.5))),
+    )
+
+
+def save_scene(scene: Scene, path: str | Path) -> None:
+    assert yaml is not None, "pyyaml required"
+    Path(path).write_text(yaml.safe_dump(scene_to_dict(scene)))
+
+
+def load_scene(path: str | Path) -> Scene:
+    assert yaml is not None, "pyyaml required"
+    return scene_from_dict(yaml.safe_load(Path(path).read_text()))
+
+
+@dataclasses.dataclass(frozen=True)
+class PathRequest:
+    """Start/goal joint configurations (reference ``robot_scene.py:203-227``)."""
+
+    start: Tuple[float, ...]
+    target: Tuple[float, ...]
+
+    @staticmethod
+    def from_yaml(path: str | Path) -> "PathRequest":
+        d = yaml.safe_load(Path(path).read_text())
+        return PathRequest(start=tuple(d["start"]), target=tuple(d["target"]))
+
+    def to_yaml(self, path: str | Path) -> None:
+        Path(path).write_text(
+            yaml.safe_dump({"start": list(self.start), "target": list(self.target)})
+        )
+
+
+# ---------------------------------------------------------------------------
+# Built-in scene library (9 tags like the reference's robodata scenes,
+# robot_scene.py:19-29 — ours are authored primitive worlds).
+# ---------------------------------------------------------------------------
+
+
+def _shelf(name: str, x: float = 0.55) -> Scene:
+    boards = []
+    for z in (0.2, 0.5, 0.8, 1.1):
+        boards.append(Primitive("box", (x, 0.0, z), (0.3, 0.8, 0.03)))
+    boards.append(Primitive("box", (x, -0.4, 0.65), (0.3, 0.03, 0.93)))
+    boards.append(Primitive("box", (x, 0.4, 0.65), (0.3, 0.03, 0.93)))
+    return Scene(name, tuple(boards))
+
+
+def _table_cluster(name: str) -> Scene:
+    prims = [
+        Primitive("box", (0.5, 0.0, 0.2), (0.7, 1.0, 0.04)),
+        Primitive("cylinder", (0.45, 0.25, 0.35), (0.06, 0.13)),
+        Primitive("cylinder", (0.55, -0.2, 0.33), (0.05, 0.11)),
+        Primitive("box", (0.35, -0.05, 0.3), (0.12, 0.12, 0.16)),
+    ]
+    return Scene(name, tuple(prims))
+
+
+def _cage(name: str) -> Scene:
+    bars = []
+    for sx in (-0.35, 0.35):
+        for sy in (-0.35, 0.35):
+            bars.append(Primitive("box", (0.5 + sx * 0.4, sy, 0.6), (0.04, 0.04, 1.2)))
+    bars.append(Primitive("box", (0.5, 0.0, 1.2), (0.5, 0.8, 0.04)))
+    return Scene(name, tuple(bars))
+
+
+def _window(name: str) -> Scene:
+    prims = [
+        Primitive("box", (0.55, 0.0, 0.25), (0.04, 1.2, 0.5)),
+        Primitive("box", (0.55, 0.0, 1.05), (0.04, 1.2, 0.5)),
+        Primitive("box", (0.55, -0.45, 0.65), (0.04, 0.3, 0.3)),
+        Primitive("box", (0.55, 0.45, 0.65), (0.04, 0.3, 0.3)),
+    ]
+    return Scene(name, tuple(prims))
+
+
+def _pillars(name: str, n: int = 4) -> Scene:
+    rng = np.random.default_rng(hash(name) % (2**31))
+    prims = []
+    for _ in range(n):
+        x = float(rng.uniform(0.3, 0.7))
+        y = float(rng.uniform(-0.45, 0.45))
+        r = float(rng.uniform(0.03, 0.07))
+        prims.append(Primitive("cylinder", (x, y, 0.6), (r, 0.6)))
+    return Scene(name, tuple(prims))
+
+
+SCENE_TAGS = (
+    "bookshelf_small",
+    "bookshelf_tall",
+    "table_pick",
+    "table_under_pick",
+    "cage",
+    "window",
+    "pillars_4",
+    "pillars_6",
+    "empty",
+)
+
+
+def get_scene(tag: str) -> Scene:
+    if tag == "bookshelf_small":
+        return _shelf(tag, 0.5)
+    if tag == "bookshelf_tall":
+        return _shelf(tag, 0.6)
+    if tag == "table_pick":
+        return _table_cluster(tag)
+    if tag == "table_under_pick":
+        s = _table_cluster(tag)
+        return Scene(tag, s.primitives + (Primitive("box", (0.5, 0.0, 0.55), (0.5, 0.6, 0.03)),))
+    if tag == "cage":
+        return _cage(tag)
+    if tag == "window":
+        return _window(tag)
+    if tag == "pillars_4":
+        return _pillars(tag, 4)
+    if tag == "pillars_6":
+        return _pillars(tag, 6)
+    if tag == "empty":
+        return Scene(tag, ())
+    raise ValueError(f"Unknown scene tag {tag}; available: {SCENE_TAGS}")

@@ -13,6 +13,13 @@ import jax
 import jax.numpy as jnp
 
 
+def safe_norm(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """L2 norm with a finite gradient at zero (``jnp.linalg.norm`` yields NaN
+    grads when its argument vanishes — e.g. SDF queries exactly inside a box,
+    touching capsules, repeated trajectory points)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + eps)
+
+
 def pw_dist_sq(x: jax.Array, y: jax.Array) -> jax.Array:
     """Pairwise squared Euclidean distances between rows of ``x`` and ``y``.
 

@@ -1,0 +1,109 @@
+"""Native C++ mesh collision engine tests (builds the .so on first run)."""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from sigsvgd_tpu.native.collision import TriMesh, build_native_library
+
+PANDA_MESHES = Path("/root/reference/robot_resources/panda/meshes/collision")
+
+pytestmark = pytest.mark.skipif(
+    not PANDA_MESHES.exists(), reason="panda mesh assets unavailable"
+)
+
+
+def _write_unit_cube_stl(path: Path):
+    """Binary STL of a unit cube centered at the origin."""
+    import struct
+
+    v = np.array(
+        [[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5) for z in (-0.5, 0.5)]
+    )
+    faces = [
+        (0, 1, 3), (0, 3, 2), (4, 6, 7), (4, 7, 5),  # x faces
+        (0, 4, 5), (0, 5, 1), (2, 3, 7), (2, 7, 6),  # y faces
+        (0, 2, 6), (0, 6, 4), (1, 5, 7), (1, 7, 3),  # z faces
+    ]
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(faces)))
+        for a, b, c in faces:
+            f.write(struct.pack("<3f", 0, 0, 0))
+            for i in (a, b, c):
+                f.write(struct.pack("<3f", *v[i]))
+            f.write(struct.pack("<H", 0))
+
+
+def test_build_library():
+    lib = build_native_library()
+    assert lib.exists()
+
+
+def test_cube_point_distances(tmp_path):
+    p = tmp_path / "cube.stl"
+    _write_unit_cube_stl(p)
+    mesh = TriMesh(p)
+    assert mesh.n_triangles == 12
+    pts = np.array([[0, 0, 0], [1.5, 0, 0], [0.5, 0, 0], [0, 2.5, 0]], np.float32)
+    d = mesh.point_distances(pts)
+    # unsigned distance: center -> nearest face 0.5; outside points -> gap
+    np.testing.assert_allclose(d, [0.5, 1.0, 0.0, 2.0], atol=1e-5)
+
+
+def test_cube_point_distance_with_transform(tmp_path):
+    p = tmp_path / "cube.stl"
+    _write_unit_cube_stl(p)
+    mesh = TriMesh(p)
+    t = np.eye(4, dtype=np.float32)
+    t[:3, 3] = [10.0, 0.0, 0.0]
+    d = mesh.point_distances(np.array([[11.5, 0, 0]], np.float32), transform=t)
+    np.testing.assert_allclose(d, [1.0], atol=1e-5)
+
+
+def test_cube_cube_distance(tmp_path):
+    p = tmp_path / "cube.stl"
+    _write_unit_cube_stl(p)
+    m1, m2 = TriMesh(p), TriMesh(p)
+    t1 = np.eye(4)
+    t2 = np.eye(4)
+    t2[:3, 3] = [3.0, 0, 0]
+    d = m1.distance_to(m2, t1, t2)
+    np.testing.assert_allclose(d, 2.0, atol=1e-4)
+    t2[:3, 3] = [0.5, 0, 0]  # overlapping
+    assert m1.distance_to(m2, t1, t2, stop_below=1e-4) < 1e-3
+
+
+def test_surface_points_on_cube(tmp_path):
+    p = tmp_path / "cube.stl"
+    _write_unit_cube_stl(p)
+    pts = TriMesh(p).surface_points(500)
+    assert pts.shape == (500, 3)
+    # every sample lies on the surface: max |coord| == 0.5
+    maxc = np.abs(pts).max(axis=1)
+    np.testing.assert_allclose(maxc, 0.5, atol=1e-5)
+
+
+def test_panda_mesh_loading():
+    mesh = TriMesh(PANDA_MESHES / "link0.stl")
+    assert mesh.n_triangles > 50
+    d = mesh.point_distances(np.array([[0, 0, 2.0]], np.float32))
+    assert 1.5 < d[0] < 2.0  # link0 is ~0.14 tall
+
+
+def test_mesh_verifier_free_vs_folded():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from sigsvgd_tpu.experiments.verify_mesh import PandaMeshVerifier
+    from sigsvgd_tpu.models.robot import PandaRobot
+
+    robot = PandaRobot.create()
+    verifier = PandaMeshVerifier(robot, surface_samples=100)
+    free = verifier.audit_config(
+        np.array([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785])
+    )
+    assert not free["self_collision"], free
+    folded = verifier.audit_config(np.array([0.0, 1.7, 0.0, -2.9, 0.0, 3.6, 0.0]))
+    assert folded["min_self_distance"] < free["min_self_distance"]
+    assert folded["self_collision"], folded
