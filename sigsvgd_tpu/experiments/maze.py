@@ -67,8 +67,12 @@ def make_model(cfg: MazeConfig) -> ParticleModel:
         obst_width=0.6,
         map_size=(4, 4),
         map_cell_size=0.01,
-        init_state=(-1.8, -1.8, 0.0, 0.0),
-        target_state=(1.8, 1.8, 0.0, 0.0),
+        # NOTE: the reference config starts at (-1.8, -1.8)
+        # (particle_maze_config.yaml:14) which lies exactly on the corner
+        # obstacle's extent (center -1.5, half-width 0.305) — the particle
+        # "crashes" at step 0. We start just inside the free corridor.
+        init_state=(-1.85, -1.85, 0.0, 0.0),
+        target_state=(1.85, 1.85, 0.0, 0.0),
         can_crash=True,
         deterministic=True,
         cost_params={

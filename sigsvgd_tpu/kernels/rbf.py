@@ -57,7 +57,13 @@ class GaussianKernel(BaseKernel):
         K = jnp.exp(-0.5 * d2 / h**2)
         if not compute_grad:
             return K
-        dK = jnp.einsum("nm,nmd->nd", K, -(X[:, None, :] - Y[None, :, :]) / h**2)
+        # Σ_j -(x_i - y_j) K_ij = K @ Y - rowsum(K) ⊙ x_i : two matmuls, no
+        # [n, m, d] intermediate (the naive einsum is the memory hot spot at
+        # 1k+ particles)
+        dK = (
+            jnp.matmul(K, Y, precision="highest")
+            - jnp.sum(K, axis=1, keepdims=True) * X
+        ) / h**2
         return K, dK
 
 
@@ -77,12 +83,21 @@ class ScaledGaussianKernel(BaseKernel):
             M = jnp.eye(d, dtype=X.dtype)
         else:
             M = 0.5 * (M + M.T)  # PSD stabilization
-        d2, d2_grad = scaled_pw_dist_sq(X, Y, M, return_gradient=True)
+        d2 = scaled_pw_dist_sq(X, Y, M)
         h = self.bandwidth(d2, h)
         K = jnp.exp(-0.5 * d2 / h**2)
         if not compute_grad:
             return K
-        dK = jnp.einsum("nm,nmd->nd", K, -d2_grad / h**2)
+        # Σ_j -(x_i - y_j)M K_ij = (K @ Y - rowsum(K) ⊙ x_i) @ M
+        dK = (
+            jnp.matmul(
+                jnp.matmul(K, Y, precision="highest")
+                - jnp.sum(K, axis=1, keepdims=True) * X,
+                M,
+                precision="highest",
+            )
+            / h**2
+        )
         return K, dK
 
 
@@ -104,8 +119,9 @@ class IMQKernel(BaseKernel):
         K = denom**-0.5
         if not compute_grad:
             return K
-        dK = jnp.einsum(
-            "nm,nmd->nd", -0.5 * denom**-1.5, (X[:, None, :] - Y[None, :, :]) / h**2
+        W = -0.5 * denom**-1.5 / h**2
+        dK = jnp.sum(W, axis=1, keepdims=True) * X - jnp.matmul(
+            W, Y, precision="highest"
         )
         return K, dK
 
@@ -122,11 +138,17 @@ class ScaledIMQKernel(BaseKernel):
             M = jnp.eye(d, dtype=X.dtype)
         else:
             M = 0.5 * (M + M.T)
-        d2, d2_grad = scaled_pw_dist_sq(X, Y, M, return_gradient=True)
+        d2 = scaled_pw_dist_sq(X, Y, M)
         h = self.bandwidth(d2, h)
         denom = 1.0 + 0.5 * d2 / h**2
         K = denom**-0.5
         if not compute_grad:
             return K
-        dK = jnp.einsum("nm,nmd->nd", -0.5 * denom**-1.5, d2_grad / h**2)
+        W = -0.5 * denom**-1.5 / h**2
+        dK = jnp.matmul(
+            jnp.sum(W, axis=1, keepdims=True) * X
+            - jnp.matmul(W, Y, precision="highest"),
+            M,
+            precision="highest",
+        )
         return K, dK

@@ -1,8 +1,11 @@
 from . import (  # noqa: F401
+    checkpoint,
+    config,
     distributions,
     helper,
     math,
     obstacle_map,
+    profiling,
     schedulers,
     spaces,
     splines,

@@ -142,7 +142,8 @@ def grad_gmm_log_p(
     m = means.reshape(means.shape[0], -1)
     v = jnp.broadcast_to(jnp.asarray(var), (m.shape[-1],))
     w = weights / jnp.sum(weights)
-    grad = jnp.sum(-w[None, :, None] * (s[:, None, :] - m[None, :, :]) / v, axis=1)
+    # Σ_k -w_k (x - μ_k)/σ² = -(x - w@μ)/σ² — closed form, no [s, k, d] tensor
+    grad = -(s - jnp.matmul(w[None, :], m, precision="highest")) / v
     return grad.reshape(ss)
 
 

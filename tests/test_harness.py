@@ -1,0 +1,113 @@
+"""Harness subsystems: config round-trip, checkpointing, profiling, plots,
+LBFGS optimizer path."""
+import dataclasses
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from sigsvgd_tpu.utils import config as cfgmod
+from sigsvgd_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from sigsvgd_tpu.utils.profiling import SectionTimer
+
+
+@dataclasses.dataclass(frozen=True)
+class DummyConfig:
+    steps: int = 10
+    lr: float = 0.1
+    kernel: str = "rbf"
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    cfg = DummyConfig(steps=42, lr=0.5)
+    p = tmp_path / "cfg.yaml"
+    cfgmod.save_config(cfg, p)
+    cfg2 = cfgmod.load_config(DummyConfig, p)
+    assert cfg2 == cfg
+
+
+def test_config_overrides():
+    cfg = DummyConfig()
+    cfg2 = cfgmod.apply_overrides(cfg, ["steps=99", "kernel=signature"])
+    assert cfg2.steps == 99 and cfg2.kernel == "signature"
+    with pytest.raises(TypeError):
+        cfgmod.apply_overrides(cfg, ["nope=1"])
+
+
+def test_config_unknown_key_rejected():
+    with pytest.raises(ValueError):
+        cfgmod.from_dict(DummyConfig, {"bogus": 1})
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "particles": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+        "step": jnp.asarray(7),
+    }
+    p = tmp_path / "ckpt" / "step_7"
+    save_checkpoint(p, state)
+    restored = restore_checkpoint(p)
+    np.testing.assert_allclose(
+        np.asarray(restored["particles"]), np.asarray(state["particles"])
+    )
+    assert latest_checkpoint(tmp_path / "ckpt").name == "step_7"
+
+
+def test_section_timer():
+    timer = SectionTimer()
+    with timer.section("a"):
+        x = jnp.ones((10,)) * 2
+    with timer.section("a"):
+        _ = x + 1
+    s = timer.summary()
+    assert s["a"]["calls"] == 2
+    assert s["a"]["total_s"] >= 0
+
+
+def test_plots_render(tmp_path):
+    from sigsvgd_tpu.models import ParticleModel
+    from sigsvgd_tpu.utils.plots import (
+        plot_mean_std_curves,
+        plot_particles_2d,
+        render_maze,
+    )
+
+    model = ParticleModel.create(
+        with_obstacle=True, obst_preset="single_centred", obst_width=1.0,
+        map_size=(4, 4), map_cell_size=0.05,
+        init_state=(-1.5, -1.5, 0, 0), target_state=(1.5, 1.5, 0, 0),
+    )
+    traj = np.linspace([-1.5, -1.5], [1.5, 1.5], 20)
+    render_maze(model, trajectory=traj, path=tmp_path / "maze.png")
+    assert (tmp_path / "maze.png").exists()
+
+    plot_mean_std_curves({"svgd": np.random.rand(3, 20)})
+    frames = plot_particles_2d(
+        np.random.randn(30, 16, 2), out_dir=tmp_path / "frames", every=10
+    )
+    assert len(frames) == 3
+
+
+def test_svgd_with_lbfgs_optimizer():
+    """LBFGS direction scaling as the SVGD optimizer (replaces the
+    reference's 1200-line vendored src/LBFGS.py)."""
+    from sigsvgd_tpu.inference import SVGD, ScoreResult
+    from sigsvgd_tpu.kernels import GaussianKernel
+
+    opt = optax.chain(optax.scale_by_lbfgs(), optax.scale(-0.1))
+
+    def score_fn(x, key):
+        return ScoreResult(grad_log_p=-x)
+
+    svgd = SVGD(kernel=GaussianKernel(), optimizer=opt)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (30, 2)) + 2.0
+    xf, _, _ = jax.jit(lambda x: svgd.run(x, score_fn, 100))(x0)
+    assert float(jnp.abs(jnp.mean(xf, 0)).max()) < 0.5
+    assert np.isfinite(np.asarray(xf)).all()

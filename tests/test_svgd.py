@@ -132,6 +132,6 @@ def test_log_prior_keeps_particles_in_box():
         return smoothed_box_log_prob(x, -1.0, 1.0, 0.1)
 
     svgd = SVGD(kernel=GaussianKernel(), optimizer=None, lr=0.005, log_prior=log_prior)
-    x0 = jnp.zeros((20, 2))
+    x0 = jax.random.normal(jax.random.PRNGKey(7), (20, 2)) * 0.1
     xf, _, _ = svgd.run(x0, score_fn, 200)
     assert float(jnp.max(xf)) < 1.5  # prior holds particles near the box
