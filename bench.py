@@ -87,12 +87,14 @@ def bench_tpu() -> float:
         nxt = model.step(state[None], a_seq[0:1])[0]
         return nxt, new_cstate
 
-    # warmup / compile
-    s, c = solve(state, cstate, key)
+    # warmup / compile; keys precomputed (host-side per-step fold_in would add
+    # a dispatch round-trip to every solve)
+    keys = jax.random.split(key, N_SOLVES + 1)
+    s, c = solve(state, cstate, keys[0])
     jax.block_until_ready((s, c))
     t0 = time.perf_counter()
     for i in range(N_SOLVES):
-        s, c = solve(s, c, jax.random.fold_in(key, i))
+        s, c = solve(s, c, keys[i + 1])
     jax.block_until_ready((s, c))
     dt = time.perf_counter() - t0
     return N_SOLVES / dt

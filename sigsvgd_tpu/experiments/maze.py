@@ -185,9 +185,12 @@ def run_episode(
     )
 
     states, actions, costs, dyn_particles = [np.asarray(state)], [], [], []
+    # precompute step keys: host-side key splitting inside the loop costs a
+    # device round-trip per step
+    step_keys = jax.random.split(key, cfg.steps)
     t0 = time.perf_counter()
     for step in range(cfg.steps):
-        key, sub = jax.random.split(key)
+        sub = step_keys[step]
         params_dist = (
             du.ParticleGMM(
                 means=mpf_state.particles,

@@ -64,10 +64,10 @@ def run_dust(
         return nxt, cstate, a_seq[0]
 
     states, actions = [np.asarray(state)], []
+    step_keys = jax.random.split(key, steps)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        key, sub = jax.random.split(key)
-        state, cstate, action = mpc_step(state, cstate, sub)
+    for i in range(steps):
+        state, cstate, action = mpc_step(state, cstate, step_keys[i])
         states.append(np.asarray(state))
         actions.append(np.asarray(action))
     wall = time.perf_counter() - t0
@@ -112,10 +112,10 @@ def run_disco(steps: int = 200, horizon: int = 20, n_actions: int = 256, seed: i
         return nxt, cstate
 
     states = [np.asarray(state)]
+    step_keys = jax.random.split(key, steps)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        key, sub = jax.random.split(key)
-        state, cstate = mpc_step(state, cstate, sub)
+    for i in range(steps):
+        state, cstate = mpc_step(state, cstate, step_keys[i])
         states.append(np.asarray(state))
     wall = time.perf_counter() - t0
     traj = np.stack(states)

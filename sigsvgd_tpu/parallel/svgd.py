@@ -30,7 +30,7 @@ from ..inference.svgd import SVGD, RunData, ScoreResult
 from ..kernels import SignatureKernel
 
 
-def distributed_median(vals_local: jax.Array, axis: str, iters: int = 40) -> jax.Array:
+def distributed_median(vals_local: jax.Array, axis, iters: int = 40) -> jax.Array:
     """Exact-to-fp32 median of values sharded over ``axis``.
 
     Bisection on the value range with psum'd rank counts: ~``iters`` scalar
@@ -59,9 +59,21 @@ def distributed_median(vals_local: jax.Array, axis: str, iters: int = 40) -> jax
 
 
 def _velocity_local(
-    svgd: SVGD, x_local: jax.Array, score: ScoreResult, step: jax.Array, axis: str
+    svgd: SVGD,
+    x_local: jax.Array,
+    score: ScoreResult,
+    step: jax.Array,
+    axis: str,
+    col_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Stein velocity for the local particle block (runs inside shard_map)."""
+    """Stein velocity for the local particle block (runs inside shard_map).
+
+    With ``col_axis`` (2-D pair-grid sharding), each device owns a
+    ``[n_local, N/sp]`` *block* of the Gram: rows follow the particle shard
+    (``axis``='dp'), columns the ``col_axis``='sp' split; the row-sum
+    ``K @ s`` and the aggregated kernel gradient are ``psum``'d over 'sp' —
+    the 2-D sharded-matmul pattern of the scaling playbook.
+    """
     n_local = x_local.shape[0]
     xf = x_local.reshape(n_local, -1)
     s = score.grad_log_p.reshape(n_local, -1)
@@ -71,30 +83,49 @@ def _velocity_local(
     s_all = lax.all_gather(s, axis, tiled=True)  # [N, D]
     n_total = s_all.shape[0]
 
+    if col_axis is not None:
+        sp = lax.psum(1, col_axis)
+        cols = n_total // sp
+        col0 = lax.axis_index(col_axis) * cols
+        s_cols = lax.dynamic_slice_in_dim(s_all, col0, cols, axis=0)
+    else:
+        s_cols = s_all
+
     if score.k_xx is not None and score.grad_k is not None:
-        k_rows = score.k_xx  # [n_local, N]
+        k_rows = score.k_xx  # [n_local, N] or [n_local, N/sp] column block
         grad_k = score.grad_k.reshape(n_local, -1)
     else:
         x_all = lax.all_gather(xf, axis, tiled=True)  # [N, D]
+        if col_axis is not None:
+            x_cols = lax.dynamic_slice_in_dim(x_all, col0, cols, axis=0)
+        else:
+            x_cols = x_all
         from ..utils.math import pw_dist_sq
 
-        d2 = pw_dist_sq(xf, x_all)
+        d2 = pw_dist_sq(xf, x_cols)
         if svgd.kernel.bandwidth_fn is not None:
             h = svgd.kernel.bandwidth_fn(d2)
         else:
             # exact median-heuristic bandwidth over the *global* d² matrix —
             # every shard must agree for the Gram to be consistent
-            med = distributed_median(d2, axis)
+            med = distributed_median(
+                d2, axis if col_axis is None else (axis, col_axis)
+            )
             h = jnp.maximum(
-                svgd.kernel.bw_scale * jnp.sqrt(med / jnp.log(s_all.shape[0] + 1.0)),
+                svgd.kernel.bw_scale * jnp.sqrt(med / jnp.log(n_total + 1.0)),
                 1e-8,
             )
-        k_rows, grad_k = svgd.kernel(xf, x_all, h=h)
+        k_rows, grad_k = svgd.kernel(xf, x_cols, h=h)
+
+    ks = k_rows @ s_cols
+    if col_axis is not None:
+        ks = lax.psum(ks, col_axis)
+        grad_k = lax.psum(grad_k, col_axis)
 
     if svgd.repulsion_schedule is not None:
         grad_k = grad_k * svgd.repulsion_schedule(step)
 
-    phi = (k_rows @ s_all - grad_k) / n_total
+    phi = (ks - grad_k) / n_total
     phi = phi.reshape(x_local.shape)
     if svgd.gradient_mask is not None:
         phi = phi * svgd.gradient_mask  # caller passes the local mask block
@@ -110,11 +141,15 @@ def sharded_svgd_run(
     mesh: Mesh,
     key: Optional[jax.Array] = None,
     axis: str = "dp",
+    col_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run ``n_steps`` of SVGD with particles sharded over ``mesh[axis]``.
 
     ``score_fn(x_local, key) -> ScoreResult`` is evaluated per shard and may
-    itself use collectives (see :func:`sharded_pathsig_score`). Returns
+    itself use collectives (see :func:`sharded_pathsig_score`). With
+    ``col_axis`` the Gram's column dimension is additionally split over a
+    second mesh axis (2-D dp×sp pair-grid sharding; particles are replicated
+    over 'sp' and the velocity is psum-reduced). Returns
     ``(final_particles, per-step losses)``; identical (up to fp reordering) to
     the single-device :meth:`SVGD.run` — asserted in tests/test_parallel.py.
     """
@@ -123,6 +158,8 @@ def sharded_svgd_run(
     n = particles.shape[0]
     ndev = mesh.shape[axis]
     assert n % ndev == 0, f"particles ({n}) must divide mesh axis ({ndev})"
+    if col_axis is not None:
+        assert n % mesh.shape[col_axis] == 0
     keys = jax.random.split(key, n_steps)
 
     @partial(
@@ -138,7 +175,7 @@ def sharded_svgd_run(
         def body(carry, step_key):
             x, st = carry
             score = score_fn(x, step_key)
-            phi, loss = _velocity_local(svgd, x, score, st.step, axis)
+            phi, loss = _velocity_local(svgd, x, score, st.step, axis, col_axis)
             grad = -phi
             if svgd.optimizer is not None:
                 updates, opt_state = svgd.optimizer.update(grad, st.opt_state, x)
@@ -168,6 +205,7 @@ def sharded_pathsig_score(
     sig_kernel: SignatureKernel,
     axis: str = "dp",
     paths_of: Optional[Callable[[jax.Array], jax.Array]] = None,
+    col_axis: Optional[str] = None,
 ):
     """Signature-kernel score with a row-sharded Gram.
 
@@ -177,8 +215,14 @@ def sharded_pathsig_score(
     needs. Communication: one all_gather of ``[N, L, C]`` paths per step.
 
     ``paths_of`` maps particles to the paths entering the kernel (default:
-    particles are the paths, as in knot-space planning).
+    particles are the paths, as in knot-space planning). With ``col_axis``
+    the pair grid is 2-D sharded (rows=dp, cols=sp). The kernel must use a
+    *fixed* static bandwidth — per-block median heuristics would disagree
+    across shards.
     """
+    assert sig_kernel.bandwidth is not None or sig_kernel.static == "linear", (
+        "sharded signature score requires a fixed bandwidth"
+    )
     paths_of = paths_of or (lambda x: x)
 
     def score(x_local, key):
@@ -193,11 +237,18 @@ def sharded_pathsig_score(
         tau_all = lax.stop_gradient(
             lax.all_gather(tau_local, axis, tiled=True)
         )  # [N, L, C]
+        if col_axis is not None:
+            sp = lax.psum(1, col_axis)
+            cols = tau_all.shape[0] // sp
+            col0 = lax.axis_index(col_axis) * cols
+            tau_cols = lax.dynamic_slice_in_dim(tau_all, col0, cols, axis=0)
+        else:
+            tau_cols = tau_all
 
         def gram_sum(xl):
-            return jnp.sum(sig_kernel.gram(paths_of(xl), tau_all))
+            return jnp.sum(sig_kernel.gram(paths_of(xl), tau_cols))
 
-        k_rows = sig_kernel.gram(tau_local, tau_all)  # [n_local, N]
+        k_rows = sig_kernel.gram(tau_local, tau_cols)  # [n_local, N or N/sp]
         grad_k = jax.grad(gram_sum)(x_local)
         return ScoreResult(
             grad_log_p=-grad_c, k_xx=k_rows, grad_k=grad_k, loss=cost, aux=aux

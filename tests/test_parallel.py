@@ -76,3 +76,29 @@ def test_sharded_pathsig_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(x_single), np.asarray(x_sharded), rtol=1e-3, atol=1e-4
     )
+
+    # 2-D pair-grid sharding (dp=4 × sp=2) must agree too
+    mesh2 = make_mesh([4, 2], ("dp", "sp"))
+    score2 = sharded_pathsig_score(cost_fn, kern, col_axis="sp")
+    x_2d, _ = sharded_svgd_run(
+        svgd, knots, score2, 20, mesh2, key=key, col_axis="sp"
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_single), np.asarray(x_2d), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_sharded_rbf_2d_matches_single_device():
+    key = jax.random.PRNGKey(3)
+    x0 = jax.random.normal(key, (32, 3)) + 1.0
+
+    def score_fn(x, key):
+        return ScoreResult(grad_log_p=-x)
+
+    svgd = SVGD(kernel=GaussianKernel(), optimizer=optax.adam(0.1))
+    x_single, _, _ = svgd.run(x0, score_fn, 30, key=key)
+    mesh2 = make_mesh([4, 2], ("dp", "sp"))
+    x_2d, _ = sharded_svgd_run(svgd, x0, score_fn, 30, mesh2, key=key, col_axis="sp")
+    np.testing.assert_allclose(
+        np.asarray(x_single), np.asarray(x_2d), rtol=1e-3, atol=1e-4
+    )
