@@ -4,3 +4,4 @@ from .svgd import (  # noqa: F401
     sharded_pathsig_score,
     sharded_svgd_run,
 )
+from .distributed import global_particle_mesh, init_distributed, make_global_particles  # noqa: F401

@@ -75,6 +75,37 @@ def log_prob(dist: Distribution, x: jax.Array) -> jax.Array:
     raise TypeError(f"Unknown distribution type: {type(dist)}")
 
 
+def sample_rejection(
+    dist: Distribution,
+    key: jax.Array,
+    shape: Tuple[int, ...],
+    low: float = -jnp.inf,
+    high: float = jnp.inf,
+    max_rounds: int = 50,
+) -> jax.Array:
+    """Rejection sampling within ``[low, high]`` bounds (jittable).
+
+    Counterpart of the reference's ``BaseModel.rejection_sampling``
+    (``src/models/base.py:102-147``): out-of-bounds draws are redrawn for up
+    to ``max_rounds`` fixed-shape rounds (then clipped — a bounded-compute
+    compromise vs the reference's unbounded Python while-loop).
+    """
+
+    def in_bounds(x):
+        return jnp.all((x >= low) & (x <= high), axis=-1, keepdims=True)
+
+    def body(carry, sub):
+        x = carry
+        y = sample(dist, sub, shape)
+        x = jnp.where(in_bounds(x), x, y)
+        return x, None
+
+    key, k0 = jax.random.split(key)
+    x0 = sample(dist, k0, shape)
+    x, _ = jax.lax.scan(body, x0, jax.random.split(key, max_rounds))
+    return jnp.clip(x, low, high)
+
+
 def moments(dist: Distribution) -> Tuple[jax.Array, jax.Array]:
     """``(mean, covariance)`` — what the UTF sigma-point rollouts consume."""
     if isinstance(dist, Gaussian):

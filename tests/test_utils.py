@@ -76,6 +76,14 @@ def test_gmm_distribution_moments():
     np.testing.assert_allclose(np.asarray(x.mean(0)), [1.0, 1.0], atol=0.1)
 
 
+def test_rejection_sampling_respects_bounds():
+    dist = du.Gaussian(mean=jnp.asarray([0.0]), cov=jnp.asarray([4.0]))
+    x = du.sample_rejection(dist, jax.random.PRNGKey(0), (2000,), low=0.5, high=2.0)
+    assert float(x.min()) >= 0.5 and float(x.max()) <= 2.0
+    # distribution is truncated-normal-ish: mass concentrated near 0.5
+    assert float(jnp.mean(x)) < 1.4
+
+
 def test_obstacle_map_lookup():
     omap = om.generate_obstacle_map(
         (4, 4), om.obstacle_preset("single_centred", 1.0), 0.05
