@@ -76,8 +76,14 @@ def gram_increments(gram: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("dyadic_order",))
-def solve_goursat_pde(inc: jax.Array, dyadic_order: int = 0) -> jax.Array:
+def solve_goursat_pde_scan(inc: jax.Array, dyadic_order: int = 0) -> jax.Array:
     """Solve the discretized Goursat PDE for a batch of increment grids.
+
+    Plain ``lax.scan`` version differentiated by JAX AD — simple and exact,
+    but its backward pass stores one ``[B, G+1]`` carry per anti-diagonal
+    (O(B·G²) residual memory: fine up to ~10⁵ pairs, prohibitive at the
+    1k-particle scale). :func:`solve_goursat_pde` wraps it with a custom
+    adjoint that recomputes diagonals instead (O(B·G) live memory per chunk).
 
     Args:
       inc: ``[B, Lx-1, Ly-1]`` coarse increment grids (double differences of
@@ -117,6 +123,173 @@ def solve_goursat_pde(inc: jax.Array, dyadic_order: int = 0) -> jax.Array:
     steps = jnp.arange(2, gx + gy + 1)
     (_, last), _ = lax.scan(jax.checkpoint(step), init, steps)
     return last[:, gx]
+
+
+# ---------------------------------------------------------------------------
+# Memory-bounded solver with a custom adjoint (the production path).
+#
+# Backward pass = recompute the forward wavefront storing the node diagonals,
+# then sweep the adjoint PDE in reverse:
+#   g_s[i] = a_{s+1}[i]·ĝ_{s+1}[i] + (a_{s+1}·ĝ_{s+1})[i+1] − (b_{s+2}·ĝ_{s+2})[i+1]
+# accumulating ∂out/∂z at each fine cell into the coarse increment grid.
+# Live memory is O(chunk · G) diagonals instead of O(B · G²) scan residuals.
+# ---------------------------------------------------------------------------
+
+
+def _coef_fields(inc: jax.Array, dyadic_order: int):
+    z = inc / float(4**dyadic_order)
+    return 1.0 + 0.5 * z + z * z / 12.0, 1.0 - z * z / 12.0, z
+
+
+def _diag_indices(s, ii, gx, gy, lam):
+    """Cell/coeff indices for node diagonal ``s``: node (i, s-i) uses the
+    coarse cell of fine cell (i-1, s-i-1). Returns (ci, cj, interior mask)."""
+    jj = s - ii
+    interior = (ii >= 1) & (ii <= gx) & (jj >= 1) & (jj <= gy)
+    ci = jnp.clip(ii - 1, 0, gx - 1) >> lam
+    cj = jnp.clip(jj - 1, 0, gy - 1) >> lam
+    return ci, cj, interior
+
+
+def _goursat_fwd_diagonals(coef_a, coef_b, gx, gy, lam):
+    """Forward solve, returning ALL node diagonals ``[2G+1, B, gx+1]``."""
+    b = coef_a.shape[0]
+    ii = jnp.arange(gx + 1)
+
+    def step(carry, s):
+        dm2, dm1 = carry
+        ci, cj, interior = _diag_indices(s, ii, gx, gy, lam)
+        a = coef_a[:, ci, cj]
+        bb = coef_b[:, ci, cj]
+        new = (dm1 + jnp.roll(dm1, 1, axis=1)) * a - jnp.roll(dm2, 1, axis=1) * bb
+        new = jnp.where(interior[None, :], new, 1.0)
+        return (dm1, new), new
+
+    d0 = jnp.ones((b, gx + 1), coef_a.dtype)
+    d1 = jnp.ones((b, gx + 1), coef_a.dtype)
+    (_, last), diags = lax.scan(step, (d0, d1), jnp.arange(2, gx + gy + 1))
+    all_diags = jnp.concatenate([d0[None], d1[None], diags], axis=0)
+    return all_diags, last
+
+
+def _goursat_bwd_chunk(inc, dyadic_order, g_out):
+    """Adjoint sweep for one pair chunk: ``d(out)/d(inc)``."""
+    b, lx1, ly1 = inc.shape
+    lam = dyadic_order
+    gx, gy = lx1 << lam, ly1 << lam
+    coef_a, coef_b, z = _coef_fields(inc, lam)
+    diags, _ = _goursat_fwd_diagonals(coef_a, coef_b, gx, gy, lam)  # [S, B, gx+1]
+    ii = jnp.arange(gx + 1)
+
+    def coefs_at(t):
+        """Masked coefficient/z vectors on node diagonal ``t`` (zeros outside)."""
+        valid = (t >= 2) & (t <= gx + gy)
+        ci, cj, interior = _diag_indices(t, ii, gx, gy, lam)
+        m = (interior & valid)[None, :]
+        return (
+            jnp.where(m, coef_a[:, ci, cj], 0.0),
+            jnp.where(m, coef_b[:, ci, cj], 0.0),
+            jnp.where(m, z[:, ci, cj], 0.0),
+        )
+
+    seed = g_out[:, None] * (ii == gx)[None, :].astype(inc.dtype)
+    dzc0 = jnp.zeros_like(inc)
+
+    def step(carry, s):
+        g1, g2, dzc = carry  # ĝ at diags s+1 and s+2
+        a1, _, _ = coefs_at(s + 1)
+        _, b2, _ = coefs_at(s + 2)
+        u = a1 * g1
+        v = b2 * g2
+        g = u + jnp.roll(u, -1, axis=1) - jnp.roll(v, -1, axis=1)
+        g = g + jnp.where(s == gx + gy, seed, 0.0)
+        ci, cj, interior = _diag_indices(s, ii, gx, gy, lam)
+        g = jnp.where(interior[None, :], g, 0.0)
+
+        # primal neighbors from stored diagonals
+        dm1 = diags[s - 1]
+        dm2 = diags[s - 2]
+        left = dm1
+        up = jnp.roll(dm1, 1, axis=1)
+        corner = jnp.roll(dm2, 1, axis=1)
+        _, _, zrow = coefs_at(s)
+        dz_row = g * ((left + up) * (0.5 + zrow / 6.0) + corner * (zrow / 6.0))
+        dzc = dzc.at[:, ci, cj].add(jnp.where(interior[None, :], dz_row, 0.0))
+        return (g, g1, dzc), None
+
+    init = (
+        jnp.zeros((b, gx + 1), inc.dtype),
+        jnp.zeros((b, gx + 1), inc.dtype),
+        dzc0,
+    )
+    (g1, _, dzc), _ = lax.scan(
+        step, init, jnp.arange(gx + gy, 1, -1)
+    )
+    return dzc / float(4**lam)
+
+
+def _chunked(f, x, chunk):
+    b = x.shape[0]
+    if b <= chunk:
+        return f(x)
+    n_chunks = -(-b // chunk)
+    pad = n_chunks * chunk - b
+    xp = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
+    out = lax.map(f, xp.reshape((n_chunks, chunk) + x.shape[1:]))
+    out = out.reshape((n_chunks * chunk,) + out.shape[2:])
+    return out[:b]
+
+
+def auto_chunk(lx1: int, ly1: int, dyadic_order: int, budget_bytes: int = 5 * 10**8) -> int:
+    """Pair-chunk size whose backward diagonal storage fits ``budget_bytes``."""
+    gx, gy = lx1 << dyadic_order, ly1 << dyadic_order
+    per_pair = (gx + gy + 1) * (gx + 1) * 4
+    return max(256, budget_bytes // per_pair)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def solve_goursat_pde(
+    inc: jax.Array, dyadic_order: int = 0, chunk: int = 16384
+) -> jax.Array:
+    """Production Goursat-PDE solver: forward wavefront + custom adjoint.
+
+    Identical values/gradients to :func:`solve_goursat_pde_scan` (asserted in
+    tests) but with O(chunk·G) backward memory — required at the 1k-particle
+    scale where the Gram has ~10⁶ pairs. Use :func:`auto_chunk` to size
+    ``chunk`` from the grid dimensions.
+    """
+    return _chunked(lambda c: solve_goursat_pde_scan(c, dyadic_order), inc, chunk)
+
+
+def _solve_fwd(inc, dyadic_order, chunk):
+    # fwd receives the primal signature; bwd receives (nondiff..., res, ct)
+    k = _chunked(lambda c: solve_goursat_pde_scan(c, dyadic_order), inc, chunk)
+    return k, inc
+
+
+def _solve_bwd(dyadic_order, chunk, inc, g_out):
+    b = inc.shape[0]
+    if b <= chunk:
+        return (_goursat_bwd_chunk(inc, dyadic_order, g_out),)
+    n_chunks = -(-b // chunk)
+    pad = n_chunks * chunk - b
+    if pad:
+        inc_p = jnp.concatenate([inc, jnp.zeros((pad,) + inc.shape[1:], inc.dtype)])
+        g_p = jnp.concatenate([g_out, jnp.zeros((pad,), g_out.dtype)])
+    else:
+        inc_p, g_p = inc, g_out
+    dinc = lax.map(
+        lambda args: _goursat_bwd_chunk(args[0], dyadic_order, args[1]),
+        (
+            inc_p.reshape((n_chunks, chunk) + inc.shape[1:]),
+            g_p.reshape(n_chunks, chunk),
+        ),
+    )
+    dinc = dinc.reshape((n_chunks * chunk,) + inc.shape[1:])
+    return (dinc[:b],)
+
+
+solve_goursat_pde.defvjp(_solve_fwd, _solve_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -160,8 +333,10 @@ class SignatureKernel:
                 # BatchGaussianKernel.Gram_matrix (``_traj_kernels.py:176-195``)
                 h = bw_median(d2.reshape(n, -1), self.bw_scale)
             g = jnp.exp(-d2 / h)
-        inc = gram_increments(g).reshape(n * m, X.shape[1] - 1, Y.shape[1] - 1)
-        return solve_goursat_pde(inc, self.dyadic_order).reshape(n, m)
+        lx1, ly1 = X.shape[1] - 1, Y.shape[1] - 1
+        inc = gram_increments(g).reshape(n * m, lx1, ly1)
+        chunk = auto_chunk(lx1, ly1, self.dyadic_order)
+        return solve_goursat_pde(inc, self.dyadic_order, chunk).reshape(n, m)
 
     def __call__(self, X: jax.Array, Y: jax.Array, **_) -> jax.Array:
         return self.gram(X, Y)

@@ -103,3 +103,37 @@ def test_median_bandwidth_path(rng):
     kern = SignatureKernel(dyadic_order=2)  # median heuristic
     k = kern.gram(paths, paths)
     assert np.isfinite(np.asarray(k)).all()
+
+
+def test_custom_vjp_matches_scan_ad(rng):
+    """The production adjoint solver must match AD-through-scan exactly."""
+    from sigsvgd_tpu.kernels.sigkernel import solve_goursat_pde_scan
+
+    for lam in (0, 1, 2):
+        inc = jnp.asarray(rng.standard_normal((5, 4, 4)).astype(np.float32) * 0.2)
+        g = jnp.asarray(rng.standard_normal(5).astype(np.float32))
+
+        k_scan, vjp_scan = jax.vjp(lambda z: solve_goursat_pde_scan(z, lam), inc)
+        k_prod, vjp_prod = jax.vjp(lambda z: solve_goursat_pde(z, lam), inc)
+        np.testing.assert_allclose(np.asarray(k_scan), np.asarray(k_prod), rtol=1e-6)
+        (d_scan,) = vjp_scan(g)
+        (d_prod,) = vjp_prod(g)
+        np.testing.assert_allclose(
+            np.asarray(d_scan), np.asarray(d_prod), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_custom_vjp_rectangular_and_chunked(rng):
+    from sigsvgd_tpu.kernels.sigkernel import solve_goursat_pde_scan
+
+    inc = jnp.asarray(rng.standard_normal((7, 3, 5)).astype(np.float32) * 0.2)
+    g = jnp.asarray(rng.standard_normal(7).astype(np.float32))
+    k_scan, vjp_scan = jax.vjp(lambda z: solve_goursat_pde_scan(z, 1), inc)
+    # chunk smaller than batch to exercise the lax.map path (+padding)
+    k_prod, vjp_prod = jax.vjp(lambda z: solve_goursat_pde(z, 1, 3), inc)
+    np.testing.assert_allclose(np.asarray(k_scan), np.asarray(k_prod), rtol=1e-6)
+    (d_scan,) = vjp_scan(g)
+    (d_prod,) = vjp_prod(g)
+    np.testing.assert_allclose(
+        np.asarray(d_scan), np.asarray(d_prod), rtol=1e-4, atol=1e-5
+    )
