@@ -169,6 +169,8 @@ def run_episode(
             init_particles = jnp.log(init_particles)
         mpf_state = mpf.init(init_particles, state)
 
+    from ..utils.obstacle_map import get_collisions
+
     @jax.jit
     def mpc_step(state, cstate, params_dist, key):
         a_seq, cstate, data = ctrl.forward(
@@ -176,7 +178,12 @@ def run_episode(
         )
         action = a_seq[0]
         nxt = system.step(state[None], action[None])[0]
-        return action, nxt, cstate, data
+        # episode-termination flags computed on-device: the host fetches one
+        # packed tuple per step instead of paying a round-trip per check
+        inst_cost = model.default_inst_cost(nxt[None])[0]
+        crashed = get_collisions(model.obstacle_map, nxt[:2]) > 0
+        reached = jnp.linalg.norm(model.target - nxt) <= 1.0
+        return action, nxt, cstate, data, inst_cost, crashed, reached
 
     mpf_observe = (
         jax.jit(lambda st, a, obs: mpf.observe(st, a, obs, n_steps=cfg.mpf_steps))
@@ -200,21 +207,24 @@ def run_episode(
             if mpf
             else dyn_prior
         )
-        action, state, cstate, data = mpc_step(state, cstate, params_dist, sub)
-        states.append(np.asarray(state))
-        actions.append(np.asarray(action))
-        costs.append(float(model.default_inst_cost(state[None])[0]))
+        action, state, cstate, data, inst_cost, crashed, reached = mpc_step(
+            state, cstate, params_dist, sub
+        )
         if mpf and step >= cfg.warm_up:
             mpf_state, _ = mpf_observe(mpf_state, action, state)
             dyn_particles.append(np.asarray(mpf_state.particles))
-
-        from ..utils.obstacle_map import get_collisions
-
-        if float(get_collisions(model.obstacle_map, state[:2])) > 0:
+        # single host transfer per step
+        action_h, state_h, cost_h, crashed_h, reached_h = jax.device_get(
+            (action, state, inst_cost, crashed, reached)
+        )
+        states.append(state_h)
+        actions.append(action_h)
+        costs.append(float(cost_h))
+        if crashed_h:
             if verbose:
                 print(f"Crashed at step {step}")
             break
-        if float(jnp.linalg.norm(model.target - state)) <= 1.0:
+        if reached_h:
             if verbose:
                 print(f"Reached goal at step {step}")
             break
