@@ -192,6 +192,7 @@ def run_episode(
     )
 
     states, actions, costs, dyn_particles = [np.asarray(state)], [], [], []
+    reached_goal = False
     # precompute step keys: host-side key splitting inside the loop costs a
     # device round-trip per step
     step_keys = jax.random.split(key, cfg.steps)
@@ -212,19 +213,23 @@ def run_episode(
         )
         if mpf and step >= cfg.warm_up:
             mpf_state, _ = mpf_observe(mpf_state, action, state)
-            dyn_particles.append(np.asarray(mpf_state.particles))
-        # single host transfer per step
-        action_h, state_h, cost_h, crashed_h, reached_h = jax.device_get(
-            (action, state, inst_cost, crashed, reached)
+        # single host transfer per step (mpf particles folded in when active)
+        fetch = (action, state, inst_cost, crashed, reached) + (
+            (mpf_state.particles,) if mpf else ()
         )
+        fetched = jax.device_get(fetch)
+        action_h, state_h, cost_h, crashed_h, reached_h = fetched[:5]
+        if mpf and step >= cfg.warm_up:
+            dyn_particles.append(fetched[5])
         states.append(state_h)
         actions.append(action_h)
         costs.append(float(cost_h))
+        reached_goal = bool(reached_h)
         if crashed_h:
             if verbose:
                 print(f"Crashed at step {step}")
             break
-        if reached_h:
+        if reached_goal:
             if verbose:
                 print(f"Reached goal at step {step}")
             break
@@ -237,7 +242,7 @@ def run_episode(
         "dyn_particles": np.stack(dyn_particles) if dyn_particles else None,
         "steps": len(actions),
         "wall_clock_s": wall,
-        "reached_goal": float(jnp.linalg.norm(model.target - state)) <= 1.0,
+        "reached_goal": reached_goal,
     }
 
 

@@ -90,6 +90,9 @@ def build_problem(
     )
 
 
+OCC_TRAIN_MARGIN = 0.03  # labels count sdf <= margin as occupied (train AND eval)
+
+
 def train_scene_models(
     robot: PandaRobot, scene_tag: str, n_samples: int = 200_000, epochs: int = 15
 ):
@@ -98,7 +101,7 @@ def train_scene_models(
     from the exact oracles)."""
     scene = get_scene(scene_tag)
     key = jax.random.PRNGKey(0)
-    pts, labels = sample_occupancy_dataset(scene, key, n_samples, margin=0.03)
+    pts, labels = sample_occupancy_dataset(scene, key, n_samples, margin=OCC_TRAIN_MARGIN)
     occmap = train_prob_model(
         jax.random.PRNGKey(1), pts, labels, epochs=epochs, log_every=0
     )

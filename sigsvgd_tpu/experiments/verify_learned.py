@@ -21,23 +21,41 @@ from ..models.robot.self_collision import sample_self_collision_dataset
 
 
 def _metrics(pred: np.ndarray, label: np.ndarray, threshold: float = 0.5) -> Dict:
+    """Note: models are trained with inverse-frequency pos_weight, which
+    shifts the sigmoid operating point toward recall — metrics are reported
+    at several thresholds plus a threshold-free AUC."""
     hard = (pred >= threshold).astype(np.float32)
     tp = float(((hard == 1) & (label == 1)).sum())
     fp = float(((hard == 1) & (label == 0)).sum())
     fn = float(((hard == 0) & (label == 1)).sum())
     tn = float(((hard == 0) & (label == 0)).sum())
+    # threshold-free ranking quality (AUC via the rank-sum identity)
+    order = np.argsort(pred)
+    ranks = np.empty(len(pred))
+    ranks[order] = np.arange(1, len(pred) + 1)
+    n_pos = max(label.sum(), 1)
+    n_neg = max((1 - label).sum(), 1)
+    auc = (ranks[label == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
     return {
         "accuracy": (tp + tn) / max(len(label), 1),
         "precision": tp / max(tp + fp, 1),
         "recall": tp / max(tp + fn, 1),
+        "auc": float(auc),
         "positive_rate": float(label.mean()),
+        "threshold": threshold,
     }
 
 
 def verify_occupancy_model(
     model: ProbModel, scene: Scene, n: int = 50_000, seed: int = 123
 ) -> Dict:
-    pts, labels = sample_occupancy_dataset(scene, jax.random.PRNGKey(seed), n)
+    from .robot_planning import OCC_TRAIN_MARGIN
+
+    # evaluate against the same margin the model was trained on — otherwise
+    # the 0 < sdf <= margin band counts correct predictions as false positives
+    pts, labels = sample_occupancy_dataset(
+        scene, jax.random.PRNGKey(seed), n, margin=OCC_TRAIN_MARGIN
+    )
     pred = np.asarray(model(pts))[:, 0]
     return _metrics(pred, labels)
 
