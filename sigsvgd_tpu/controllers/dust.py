@@ -73,6 +73,7 @@ class DuSt:
     stein_sampler: str = "SVGD"  # SVGD | ScaledSVGD | MatrixSVGD
     optimizer: Optional[optax.GradientTransformation] = None
     lr: float = 0.1
+    fused_velocity: bool = False  # Pallas fused SVGD update (policy RBF mode)
     n_prim: int = 0  # leading policies that are frozen action primitives
     init_uniform_range: float = 10.0
     inst_cost_fn: Optional[CostFn] = None
@@ -115,6 +116,7 @@ class DuSt:
             lr=self.lr,
             log_prior=log_prior,
             gradient_mask=mask if self.n_prim > 0 else None,
+            fused_velocity=self.fused_velocity,
         )
         if self.stein_sampler == "SVGD":
             return SVGD(kernel=self.kernel, **common)

@@ -131,6 +131,12 @@ def run_experiment(
         for req_i, req in enumerate(default_requests(robot, tag, n=2)):
             for seed in seeds:
                 for method in methods:
+                    if out_dir is not None and (
+                        out_dir / f"robot-{tag}/{req_i}-{seed}/{method}" / "data.pkl"
+                    ).exists():
+                        # idempotent re-runs skip finished cells (parity:
+                        # script_planning_robot.py:556-557)
+                        continue
                     cfg = dataclasses.replace(config, method=method)
                     problem = build_problem(
                         robot, tag, req, use_learned, occmap, self_pred, cfg.timesteps

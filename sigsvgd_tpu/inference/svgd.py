@@ -92,6 +92,9 @@ class SVGD:
     log_prior: Optional[Callable[[jax.Array], jax.Array]] = None
     repulsion_schedule: Optional[Callable[[jax.Array], jax.Array]] = None
     gradient_mask: Optional[jax.Array] = None
+    # fuse Gram + K@s + ∇K into one Pallas kernel (plain GaussianKernel only;
+    # ~2x at ≥4k particles on TPU, XLA fallback elsewhere)
+    fused_velocity: bool = False
 
     # -- state ------------------------------------------------------------
     def init(self, particles: jax.Array) -> SVGDState:
@@ -113,20 +116,35 @@ class SVGD:
     ) -> Tuple[jax.Array, jax.Array]:
         """Stein velocity φ (particle-shaped) and the logged loss."""
         n = x.shape[0]
-        if score.k_xx is not None and score.grad_k is not None:
-            k_xx, grad_k = score.k_xx, _flat(score.grad_k)
-        else:
-            k_xx, grad_k = self._kernel_terms(x)
-        if self.repulsion_schedule is not None:
-            grad_k = grad_k * self.repulsion_schedule(step)
-
         s = _flat(score.grad_log_p)
         if self.log_prior is not None:
             prior_grad = jax.grad(lambda xx: jnp.sum(self.log_prior(xx)))(x)
             s = s + _flat(prior_grad)
 
-        phi = (k_xx @ s - grad_k) / n
-        phi = phi.reshape(x.shape)
+        use_fused = (
+            self.fused_velocity
+            and score.k_xx is None
+            and self.repulsion_schedule is None
+            and type(self.kernel) is GaussianKernel
+        )
+        if use_fused:
+            from ..kernels.pallas_svgd import fused_rbf_velocity
+            from ..utils.math import bw_median, pw_dist_sq
+
+            xf = _flat(x)
+            if self.kernel.bandwidth_fn is not None:
+                h = self.kernel.bandwidth_fn(pw_dist_sq(xf, xf))
+            else:
+                h = bw_median(pw_dist_sq(xf, xf), self.kernel.bw_scale)
+            phi = fused_rbf_velocity(xf, s, h).reshape(x.shape)
+        else:
+            if score.k_xx is not None and score.grad_k is not None:
+                k_xx, grad_k = score.k_xx, _flat(score.grad_k)
+            else:
+                k_xx, grad_k = self._kernel_terms(x)
+            if self.repulsion_schedule is not None:
+                grad_k = grad_k * self.repulsion_schedule(step)
+            phi = ((k_xx @ s - grad_k) / n).reshape(x.shape)
         if self.gradient_mask is not None:
             phi = phi * self.gradient_mask
         loss = score.loss if score.loss is not None else jnp.linalg.norm(s)

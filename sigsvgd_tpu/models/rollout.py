@@ -22,6 +22,7 @@ def rollout(
     actions: jax.Array,
     params: ParamsDict = None,
     key: Optional[jax.Array] = None,
+    unroll: int = 8,
 ) -> jax.Array:
     """Roll the model forward under an action sequence.
 
@@ -54,6 +55,8 @@ def rollout(
         nxt = model.step(state, act, params, key=k if key is not None else None)
         return nxt, nxt
 
-    _, traj = lax.scan(body, state0, (acts, keys))
+    # unrolling amortizes the per-iteration device-loop overhead, which
+    # dominates at MPC shapes (tiny [batch, dim] elementwise steps)
+    _, traj = lax.scan(body, state0, (acts, keys), unroll=min(unroll, h))
     traj = jnp.moveaxis(traj, 0, -2)  # [..., H, dim_s]
     return jnp.concatenate([state0[..., None, :], traj], axis=-2)
