@@ -92,29 +92,40 @@ def train_prob_model(
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, xb, yb):
-        def loss_fn(p):
-            logits = module.apply({"params": p}, xb, logits=True)[..., 0]
-            losses = optax.sigmoid_binary_cross_entropy(logits, yb)
-            w = jnp.where(yb > 0.5, pos_weight, 1.0)
-            return jnp.mean(w * losses)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    rng = np.random.default_rng(0)
+    x_dev = jnp.asarray(inputs)
+    y_dev = jnp.asarray(labels)
     steps_per_epoch = max(n // batch_size, 1)
-    for epoch in range(epochs):
-        perm = rng.permutation(n)
-        total = 0.0
-        for i in range(steps_per_epoch):
-            idx = perm[i * batch_size : (i + 1) * batch_size]
-            params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(inputs[idx]), jnp.asarray(labels[idx])
-            )
-            total += float(loss)
-        if log_every and (epoch + 1) % log_every == 0:
-            print(f"epoch {epoch + 1}: loss {total / steps_per_epoch:.4f}")
+    n_steps = epochs * steps_per_epoch
+
+    # the whole training run is ONE lax.scan (one dispatch): per-step random
+    # minibatch gather on-device — a Python per-batch loop pays a dispatch
+    # round-trip per step, which dominates at these model sizes
+    @jax.jit
+    def train(params, opt_state, key):
+        def step(carry, step_key):
+            params, opt_state = carry
+            idx = jax.random.randint(step_key, (batch_size,), 0, n)
+            xb = x_dev[idx]
+            yb = y_dev[idx]
+
+            def loss_fn(p):
+                logits = module.apply({"params": p}, xb, logits=True)[..., 0]
+                losses = optax.sigmoid_binary_cross_entropy(logits, yb)
+                w = jnp.where(yb > 0.5, pos_weight, 1.0)
+                return jnp.mean(w * losses)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), jax.random.split(key, n_steps)
+        )
+        return params, losses
+
+    params, losses = train(params, opt_state, jax.random.fold_in(key, 1))
+    if log_every:
+        epoch_losses = np.asarray(losses).reshape(epochs, steps_per_epoch).mean(1)
+        for e in range(0, epochs, log_every):
+            print(f"epoch {e + 1}: loss {epoch_losses[e]:.4f}")
     return ProbModel(module=module, params=params)
