@@ -50,19 +50,21 @@ def default_requests(robot: PandaRobot, scene_tag: str, n: int = 4) -> List[Path
     """Deterministic per-scene start/goal pairs: random collision-free-ish
     configurations (replaces the reference's downloaded MoveIt request YAMLs).
     """
-    rng = np.random.default_rng(abs(hash(scene_tag)) % (2**31))
+    # deterministic per-scene seed (stable across processes, unlike hash())
+    seed = int.from_bytes(scene_tag.encode()[:4].ljust(4, b"_"), "little")
+    rng = np.random.default_rng(seed)
     lower, upper = (np.asarray(a) for a in robot.joint_limits())
+    # batch-label all candidates in one device call (a per-candidate
+    # float(self_collision(...)) costs a sync round-trip each)
+    cands = rng.uniform(lower * 0.7, upper * 0.7, size=(400, 7))
+    labels = np.asarray(self_collision(robot, jnp.asarray(cands)))
+    free = cands[labels == 0.0]
     reqs = []
-    attempts = 0
-    while len(reqs) < n and attempts < 200:
-        q0 = rng.uniform(lower * 0.7, upper * 0.7)
-        q1 = rng.uniform(lower * 0.7, upper * 0.7)
-        attempts += 1
-        free0 = float(self_collision(robot, jnp.asarray(q0))) == 0.0
-        free1 = float(self_collision(robot, jnp.asarray(q1))) == 0.0
-        if free0 and free1:
-            reqs.append(PathRequest(tuple(map(float, q0)), tuple(map(float, q1))))
-    return reqs
+    for i in range(0, min(2 * n, len(free) - 1), 2):
+        reqs.append(
+            PathRequest(tuple(map(float, free[i])), tuple(map(float, free[i + 1])))
+        )
+    return reqs[:n]
 
 
 def build_problem(

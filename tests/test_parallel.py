@@ -102,3 +102,19 @@ def test_sharded_rbf_2d_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(x_single), np.asarray(x_2d), rtol=1e-3, atol=1e-4
     )
+
+
+def test_sharded_svgd_4k_particles_scale():
+    """BASELINE config-5 shape sanity: 4096 particles sharded over the
+    8-device mesh, RBF kernel, runs and converges (CPU-scale workload)."""
+    key = jax.random.PRNGKey(9)
+    x0 = jax.random.normal(key, (4096, 8)) + 2.0
+
+    def score_fn(x, key):
+        return ScoreResult(grad_log_p=-x)
+
+    svgd = SVGD(kernel=GaussianKernel(), optimizer=optax.adam(0.2))
+    mesh = make_mesh()
+    xf, losses = sharded_svgd_run(svgd, x0, score_fn, 10, mesh, key=key)
+    assert np.isfinite(np.asarray(xf)).all()
+    assert float(jnp.abs(jnp.mean(xf, 0)).max()) < 2.0  # moved toward 0
