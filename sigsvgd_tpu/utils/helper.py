@@ -60,3 +60,25 @@ def save_progress(
 def load_progress(folder_name: Path) -> Dict[str, Any]:
     with open(Path(folder_name) / "data.pkl", "rb") as f:
         return pickle.load(f)
+
+
+def assert_finite_pytree(tree: Any, name: str = "pytree") -> None:
+    """Failure detection: raise with the offending leaf path if any array in
+    the pytree contains NaN/Inf (the reference's analog is NaN-prefilled sim
+    buffers + an LBFGS legality check, SURVEY.md §5.3 — here it's an explicit
+    check experiments call on results/state before persisting)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves_with_path(tree)
+    bad = []
+    for path, leaf in leaves:
+        if hasattr(leaf, "dtype") and jnp_issubdtype_inexact(leaf):
+            arr = np.asarray(leaf)
+            if not np.isfinite(arr).all():
+                bad.append(jax.tree_util.keystr(path))
+    if bad:
+        raise FloatingPointError(f"non-finite values in {name}: {bad}")
+
+
+def jnp_issubdtype_inexact(leaf) -> bool:
+    return np.issubdtype(np.asarray(leaf).dtype, np.inexact)

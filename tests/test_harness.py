@@ -111,3 +111,11 @@ def test_svgd_with_lbfgs_optimizer():
     xf, _, _ = jax.jit(lambda x: svgd.run(x, score_fn, 100))(x0)
     assert float(jnp.abs(jnp.mean(xf, 0)).max()) < 0.5
     assert np.isfinite(np.asarray(xf)).all()
+
+
+def test_assert_finite_pytree():
+    from sigsvgd_tpu.utils.helper import assert_finite_pytree
+
+    assert_finite_pytree({"a": jnp.ones(3), "b": (jnp.zeros(2), 5)})
+    with pytest.raises(FloatingPointError, match="bad"):
+        assert_finite_pytree({"bad": jnp.asarray([1.0, np.nan])}, name="state")
