@@ -47,18 +47,26 @@ from .verify_trajectory import verify_knot_trajectories
 
 
 def default_requests(robot: PandaRobot, scene_tag: str, n: int = 4) -> List[PathRequest]:
-    """Deterministic per-scene start/goal pairs: random collision-free-ish
-    configurations (replaces the reference's downloaded MoveIt request YAMLs).
+    """Deterministic per-scene start/goal pairs: random configurations that
+    are free of BOTH self-collision and scene collision (replaces the
+    reference's downloaded MoveIt request YAMLs; a request whose endpoints sit
+    inside an obstacle is unsolvable by construction).
     """
+    from ..models.robot.scene import get_scene, scene_sdf
+    from .planning import create_body_points
+
     # deterministic per-scene seed (stable across processes, unlike hash())
     seed = int.from_bytes(scene_tag.encode()[:4].ljust(4, b"_"), "little")
     rng = np.random.default_rng(seed)
+    scene = get_scene(scene_tag)
     lower, upper = (np.asarray(a) for a in robot.joint_limits())
-    # batch-label all candidates in one device call (a per-candidate
-    # float(self_collision(...)) costs a sync round-trip each)
+    # batch-label all candidates in two device calls (per-candidate float()
+    # checks cost a sync round-trip each)
     cands = rng.uniform(lower * 0.7, upper * 0.7, size=(400, 7))
-    labels = np.asarray(self_collision(robot, jnp.asarray(cands)))
-    free = cands[labels == 0.0]
+    self_hit = np.asarray(self_collision(robot, jnp.asarray(cands)))
+    body = create_body_points(robot.qs_to_joints_xs(jnp.asarray(cands)), 5)
+    env_clearance = np.asarray(scene_sdf(scene, body).min(axis=-1))
+    free = cands[(self_hit == 0.0) & (env_clearance > 0.05)]
     reqs = []
     for i in range(0, min(2 * n, len(free) - 1), 2):
         reqs.append(
