@@ -3,6 +3,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from sigsvgd_tpu.controllers import DISCO, DuSt
 from sigsvgd_tpu.kernels import ScaledGaussianKernel, SignatureKernel
@@ -190,3 +191,30 @@ def test_dust_primitives_stay_frozen():
         np.asarray(new_cstate.pol_mean[0]), 0.0, atol=1e-6
     )
     np.testing.assert_allclose(np.asarray(new_cstate.pol_mean[1]), 5.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("strategy", ["repeat", "resample", "mean"])
+def test_dust_roll_strategies(strategy):
+    model = _point_mass()
+    ctrl = DuSt(
+        model=model,
+        hz_len=6,
+        n_pol=5,
+        kernel_mode="policy",
+        kernel=ScaledGaussianKernel(),
+        optimizer=optax.adam(0.3),
+        roll_strategy=strategy,
+        inst_cost_fn=model.default_inst_cost,
+        term_cost_fn=model.default_term_cost,
+    )
+    key = jax.random.PRNGKey(5)
+    cstate = ctrl.init(key)
+    before = np.asarray(cstate.pol_mean)
+    _, new_cstate, _ = ctrl.forward(
+        jnp.asarray(model.init_state), cstate, None, key, opt_steps=1
+    )
+    rolled = np.asarray(new_cstate.pol_mean)
+    assert rolled.shape == before.shape
+    assert np.isfinite(rolled).all()
+    if strategy == "repeat":
+        np.testing.assert_allclose(rolled[:, -1], rolled[:, -2], atol=1e-6)
