@@ -153,6 +153,7 @@ def run_optimisation(
     config: PlannerConfig,
     key: jax.Array,
     x0: Optional[jax.Array] = None,
+    host_loop: Optional[bool] = None,
 ):
     """SVGD trajectory optimization (parity: ``run_optimisation``,
     ``script_planning_robot.py:359-479``). Returns ``(final knots, RunData)``.
@@ -189,6 +190,12 @@ def run_optimisation(
         repulsion_schedule=schedule,
     )
 
+    if host_loop is None:
+        # very large particle batches: one dispatch per iteration (a single
+        # n_iter-long scan over 10^6-pair Gram programs exceeds device
+        # program limits)
+        host_loop = config.batch * config.batch > 200_000
+
     if config.method == "ps_sgd":
         # pathsig warmup then plain SGD refinement (:431-443)
         n_warm = config.n_iter - config.n_iter // 4
@@ -199,7 +206,8 @@ def run_optimisation(
         )
         return x_final, (data1, data2)
 
-    x_final, _, data = svgd.run(x0, score, config.n_iter, key=key)
+    runner = svgd.run_host_loop if host_loop else svgd.run
+    x_final, _, data = runner(x0, score, config.n_iter, key=key)
     return x_final, data
 
 

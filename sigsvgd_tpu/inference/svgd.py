@@ -211,6 +211,50 @@ class SVGD:
         trace = jnp.concatenate([particles[None], trace], axis=0)
         return x_final, state, RunData(trace=trace, loss=losses, aux=aux)
 
+    def run_host_loop(
+        self,
+        particles: jax.Array,
+        score_fn: ScoreFn,
+        n_steps: int,
+        key: Optional[jax.Array] = None,
+        state: Optional[SVGDState] = None,
+        trace_every: int = 0,
+    ) -> Tuple[jax.Array, SVGDState, RunData]:
+        """Host-driven variant of :meth:`run`: one jitted dispatch per step.
+
+        For very large per-step programs (e.g. 10⁶-pair signature Grams with
+        the chunked adjoint) a single `n_steps`-long scan can exceed device
+        program limits; here only the step is compiled. Keys are precomputed
+        (host-side splitting between chained dispatches costs a round-trip).
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if state is None:
+            state = self.init(particles)
+
+        @jax.jit
+        def one_step(x, st, step_key):
+            score = score_fn(x, step_key)
+            x2, st2 = self.step_update(x, st, score)
+            loss = score.loss if score.loss is not None else jnp.zeros(())
+            return x2, st2, loss
+
+        keys = jax.random.split(key, n_steps)
+        x = particles
+        losses = []
+        trace = [jnp.asarray(particles)] if trace_every else []
+        for i in range(n_steps):
+            x, state, loss = one_step(x, state, keys[i])
+            losses.append(loss)
+            if trace_every and (i + 1) % trace_every == 0:
+                trace.append(x)
+        trace_arr = (
+            jnp.stack(trace) if trace else jnp.stack([particles, x])
+        )
+        return x, state, RunData(
+            trace=trace_arr, loss=jnp.stack(losses), aux=None
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class ScaledSVGD(SVGD):
