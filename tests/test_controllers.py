@@ -218,3 +218,36 @@ def test_dust_roll_strategies(strategy):
     assert np.isfinite(rolled).all()
     if strategy == "repeat":
         np.testing.assert_allclose(rolled[:, -1], rolled[:, -2], atol=1e-6)
+
+
+def test_disco_cartpole_balance():
+    """BASELINE config 2: cartpole stabilization with the MPPI baseline."""
+    from sigsvgd_tpu.models import CartPoleModel
+
+    model = CartPoleModel(dt=0.02)
+    ctrl = DISCO(
+        model=model,
+        hz_len=25,
+        n_actions=128,
+        pol_cov=((0.4,),),
+        temperature=0.2,
+        ctrl_penalty=1.0,
+        inst_cost_fn=model.balance_inst_cost,
+        term_cost_fn=model.balance_term_cost,
+    )
+    cstate = ctrl.init()
+    state = jnp.asarray([0.0, 0.0, 0.15, 0.0])  # tilted pole
+
+    @jax.jit
+    def mpc_step(state, cstate, key):
+        cstate, _ = ctrl.forward(state, cstate, None, key)
+        action, cstate = ctrl.act(cstate)
+        return model.step(state[None], action)[0], cstate
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 120)
+    max_theta = 0.0
+    for i in range(120):
+        state, cstate = mpc_step(state, cstate, keys[i])
+        max_theta = max(max_theta, float(jnp.abs(state[2])))
+    # pole never falls (uncontrolled dynamics pass |theta|=0.3 within ~0.5 s)
+    assert max_theta < 0.25, f"pole fell: max |theta|={max_theta}"

@@ -135,3 +135,20 @@ def test_log_prior_keeps_particles_in_box():
     x0 = jax.random.normal(jax.random.PRNGKey(7), (20, 2)) * 0.1
     xf, _, _ = svgd.run(x0, score_fn, 200)
     assert float(jnp.max(xf)) < 1.5  # prior holds particles near the box
+
+
+def test_sine_density_svgd():
+    from sigsvgd_tpu.models import Sine
+
+    target = Sine(prior_var=1.0, y_var=0.3)
+    x0 = jax.random.normal(jax.random.PRNGKey(8), (80, 2)) * 0.3
+
+    def score_fn(x, key):
+        return ScoreResult(grad_log_p=target.grad_log_p(x))
+
+    svgd = SVGD(kernel=GaussianKernel(), optimizer=optax.adam(0.05))
+    xf, _, _ = jax.jit(lambda x: svgd.run(x, score_fn, 200))(x0)
+    # particles settle near the x2 = -sin(x1) manifold
+    resid = jnp.abs(xf[:, 1] + jnp.sin(xf[:, 0]))
+    assert float(jnp.mean(resid)) < 0.5
+    assert np.isfinite(np.asarray(xf)).all()
