@@ -251,3 +251,28 @@ def test_disco_cartpole_balance():
         max_theta = max(max_theta, float(jnp.abs(state[2])))
     # pole never falls (uncontrolled dynamics pass |theta|=0.3 within ~0.5 s)
     assert max_theta < 0.25, f"pole fell: max |theta|={max_theta}"
+
+
+def test_dust_trajectory_kernel_mode():
+    """Per-dimension RBF on trajectory projections with AD pull-back
+    (reference TrajectoryKernel path, trajectory_svgd.py:32-47)."""
+    model = _point_mass()
+    ctrl = DuSt(
+        model=model,
+        hz_len=8,
+        n_pol=6,
+        n_action_samples=4,
+        kernel_mode="trajectory",
+        kernel=ScaledGaussianKernel(),
+        optimizer=optax.adam(0.5),
+        inst_cost_fn=model.default_inst_cost,
+        term_cost_fn=model.default_term_cost,
+    )
+    key = jax.random.PRNGKey(6)
+    cstate = ctrl.init(key)
+    state = jnp.asarray(model.init_state)
+    a_seq, new_cstate, data = jax.jit(
+        lambda s, c, k: ctrl.forward(s, c, None, k, opt_steps=2)
+    )(state, cstate, key)
+    assert np.isfinite(np.asarray(a_seq)).all()
+    assert np.isfinite(np.asarray(new_cstate.pol_mean)).all()
