@@ -14,7 +14,7 @@ import argparse
 import dataclasses
 import json
 import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ..inference import SVGD
 from ..inference.score import pathsig_score, sgd_score, svgd_score

@@ -9,13 +9,11 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from functools import partial
 from pathlib import Path
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .kinematics import fk_positions, fk_poses
 from .urdf import KinematicChain, parse_urdf
