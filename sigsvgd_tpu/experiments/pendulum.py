@@ -84,15 +84,17 @@ def run_dust(
     }
 
 
-def run_disco(steps: int = 200, horizon: int = 20, n_actions: int = 256, seed: int = 0):
+def run_disco(steps: int = 200, horizon: int = 30, n_actions: int = 256, seed: int = 0):
     model = PendulumModel(dt=0.05)
+    # swing-up needs wide exploration: sigma=3 torque noise, low temperature
+    # (tuned on-device; H=20/sigma=1 fails to pump enough energy)
     ctrl = DISCO(
         model=model,
         hz_len=horizon,
         n_actions=n_actions,
-        pol_cov=((1.0,),),
-        temperature=0.3,
-        ctrl_penalty=0.95,
+        pol_cov=((9.0,),),
+        temperature=0.2,
+        ctrl_penalty=1.0,
         n_params=4,
         inst_cost_fn=model.swingup_inst_cost,
         term_cost_fn=model.swingup_term_cost,
