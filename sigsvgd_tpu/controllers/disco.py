@@ -110,8 +110,10 @@ class DISCO:
         else:
             states, costs = self._mc_rollout(state, actions, params_dist, key_par)
 
-        # control-cost trace term (disco.py:317-329): penalizes perturbations
-        # against the current plan under the action-noise precision
+        # control-cost term: λ Σ_t u_tᵀ Σ⁻¹ ε_t with the IT-MPC paper's sign
+        # (deliberate deviation: the reference, disco.py:323-327, contracts
+        # with -eps through its bit-rotted multi-policy a_mat path, which
+        # would REWARD large perturbations whenever a_reg ≠ 0)
         a_pre = jnp.linalg.inv(cov)
         a_reg = self.temperature * (1.0 - self.ctrl_penalty)
         ctrl_costs = a_reg * jnp.einsum("nha,ha->n", eps, ctrl.a_seq @ a_pre)

@@ -169,7 +169,10 @@ class DuSt:
         ``P = n_params_samples`` a params axis is prepended (parity with the
         reference's repeat_interleave batching, ``dust.py:272-306``).
         """
-        if self.n_params_samples > 0:
+        # branch on the actual sample matrix: n_params_samples > 0 with
+        # params_dist=None degrades gracefully to default model parameters
+        # (the reference/DISCO behavior) instead of crashing
+        if params_mat is not None:
             params = self._params_dict(params_mat, extra_batch_dims=actions.ndim - 2)
             acts = jnp.broadcast_to(
                 actions[None], (self.n_params_samples,) + actions.shape
@@ -189,7 +192,7 @@ class DuSt:
             else jnp.zeros(states.shape[:-2])
         )
         costs = inst + term
-        if self.n_params_samples > 0:
+        if params_mat is not None:
             costs = costs.mean(0)  # average over params axis (dust.py:246-247)
             states = states[0]  # one params slice is enough for the kernel/logs
         return costs, states
@@ -284,13 +287,16 @@ class DuSt:
             _, tr = self._rollout_costs(state, acts, params_mat)
             return self._tau(tr)
 
-        tau = self._tau(trajs)
-        ref = lax.stop_gradient(tau)
+        ref = lax.stop_gradient(self._tau(trajs))
         if self.kernel_mode == "signature":
-            k_xx = self.sig_kernel.gram(tau, ref)
-            # gradient of ΣK w.r.t. the policies, pulled back through the
-            # rollout (trajectory_svgd.py:64-69 differentiates w.r.t. actions)
-            grad_k = jax.grad(lambda pm: jnp.sum(self.sig_kernel.gram(tau_of(pm), ref)))(
+            # one rollout + Gram forward shared between K and its pull-back
+            # gradient (value_and_grad with the Gram as aux — gram/grad each
+            # being solved separately doubles the dominant PDE cost)
+            def gram_sum(pm):
+                k = self.sig_kernel.gram(tau_of(pm), ref)
+                return jnp.sum(k), k
+
+            (_, k_xx), grad_k = jax.value_and_grad(gram_sum, has_aux=True)(
                 pol_mean
             )
             return k_xx, grad_k
@@ -299,18 +305,15 @@ class DuSt:
             # (trajectory_svgd.py:32-47)
             def mean_gram(pm):
                 t = tau_of(pm)
-                total = 0.0
+                k = 0.0
                 for i in range(t.shape[-1]):
-                    total = total + jnp.sum(
-                        self.kernel(t[..., i], ref[..., i], compute_grad=False)
-                    )
-                return total / t.shape[-1]
+                    k = k + self.kernel(t[..., i], ref[..., i], compute_grad=False)
+                k = k / t.shape[-1]
+                return jnp.sum(k), k
 
-            k_xx = 0.0
-            for i in range(tau.shape[-1]):
-                k_xx = k_xx + self.kernel(tau[..., i], ref[..., i], compute_grad=False)
-            k_xx = k_xx / tau.shape[-1]
-            grad_k = jax.grad(mean_gram)(pol_mean)
+            (_, k_xx), grad_k = jax.value_and_grad(mean_gram, has_aux=True)(
+                pol_mean
+            )
             return k_xx, grad_k
         raise ValueError(f"Invalid kernel_mode: {self.kernel_mode}")
 
@@ -349,7 +352,10 @@ class DuSt:
             new_pol, new_state = sampler.step_update(pol, svgd_state, score)
             return (new_pol, new_state), (score.aux["costs"], score.loss, new_pol, trajs)
 
-        keys = jax.random.split(key, opt_steps)
+        # opt_steps step keys + a distinct roll key (re-splitting the same key
+        # would make the resample-roll draws collide with a step's draws)
+        all_keys = jax.random.split(key, opt_steps + 1)
+        keys, key_roll = all_keys[:opt_steps], all_keys[opt_steps]
         (pol_final, svgd_state), (costs_seq, loss_seq, pol_trace, traj_seq) = lax.scan(
             body, (ctrl.pol_mean, ctrl.svgd_state), keys
         )
@@ -367,7 +373,6 @@ class DuSt:
         a_seq = pol_final[i_star]
 
         # -- housekeeping: roll, prior update (dust.py:428-444,414-426) ---
-        key, key_roll = jax.random.split(key)
         rolled = self._roll(pol_final, prior, key_roll)
         new_weights = (
             pol_weights if self.weighted_prior else jnp.ones_like(pol_weights)

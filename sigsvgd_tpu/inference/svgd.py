@@ -150,22 +150,23 @@ class SVGD:
         loss = score.loss if score.loss is not None else jnp.linalg.norm(s)
         return phi, loss
 
+    def apply_update(self, x: jax.Array, grad: jax.Array, opt_state):
+        """Optimizer application shared by every runner (optax / hand-rolled
+        Adagrad / raw lr). ``grad`` is the descent direction (``-φ``)."""
+        if self.optimizer is not None:
+            updates, opt_state = self.optimizer.update(grad, opt_state, x)
+            return optax.apply_updates(x, updates), opt_state
+        if self.adagrad:
+            inertia = opt_state + grad**2
+            return x - self.lr * grad / jnp.sqrt(inertia + 1e-12), inertia
+        return x - self.lr * grad, opt_state
+
     def step_update(
         self, x: jax.Array, state: SVGDState, score: ScoreResult
     ) -> Tuple[jax.Array, SVGDState]:
         """One SVGD step given a pre-computed score."""
         phi, _ = self.velocity(x, score, state.step)
-        grad = -phi  # descend on -φ
-        if self.optimizer is not None:
-            updates, opt_state = self.optimizer.update(grad, state.opt_state, x)
-            x = optax.apply_updates(x, updates)
-        elif self.adagrad:
-            inertia = state.opt_state + grad**2
-            x = x - self.lr * grad / jnp.sqrt(inertia + 1e-12)
-            opt_state = inertia
-        else:
-            x = x - self.lr * grad
-            opt_state = state.opt_state
+        x, opt_state = self.apply_update(x, -phi, state.opt_state)
         return x, SVGDState(opt_state=opt_state, step=state.step + 1)
 
     # -- driver -----------------------------------------------------------
@@ -192,17 +193,7 @@ class SVGD:
             x, st = carry
             score = score_fn(x, step_key)
             phi, loss = self.velocity(x, score, st.step)
-            grad = -phi
-            if self.optimizer is not None:
-                updates, opt_state = self.optimizer.update(grad, st.opt_state, x)
-                x_new = optax.apply_updates(x, updates)
-            elif self.adagrad:
-                inertia = st.opt_state + grad**2
-                x_new = x - self.lr * grad / jnp.sqrt(inertia + 1e-12)
-                opt_state = inertia
-            else:
-                x_new = x - self.lr * grad
-                opt_state = st.opt_state
+            x_new, opt_state = self.apply_update(x, -phi, st.opt_state)
             new_carry = (x_new, SVGDState(opt_state, st.step + 1))
             return new_carry, (x_new, loss, score.aux)
 
@@ -248,11 +239,13 @@ class SVGD:
             losses.append(loss)
             if trace_every and (i + 1) % trace_every == 0:
                 trace.append(x)
-        trace_arr = (
-            jnp.stack(trace) if trace else jnp.stack([particles, x])
-        )
+        # trace always ends at the final particles
+        if not trace_every:
+            trace = [particles, x]
+        elif (n_steps % trace_every) != 0:
+            trace.append(x)
         return x, state, RunData(
-            trace=trace_arr, loss=jnp.stack(losses), aux=None
+            trace=jnp.stack(trace), loss=jnp.stack(losses), aux=None
         )
 
 

@@ -348,9 +348,12 @@ class SignatureKernel:
         ``wrt`` defaults to ``X`` itself; pass a different tensor (e.g. the
         actions that generated trajectories ``X``) by closing over it upstream.
         """
-        def total(x):
-            return jnp.sum(self.gram(x, lax.stop_gradient(X)))
+        ref = lax.stop_gradient(X)
 
-        k = self.gram(X, lax.stop_gradient(X))
-        dk = jax.grad(total)(X)
+        def total(x):
+            k = self.gram(x, ref)
+            return jnp.sum(k), k
+
+        # one PDE solve (forward shared between the Gram and its gradient)
+        (_, k), dk = jax.value_and_grad(total, has_aux=True)(X)
         return k, dk

@@ -105,8 +105,8 @@ class PathSigKernel(BaseKernel):
             return self.gram(X, Y, h)
 
         def total(x):
-            return jnp.sum(self.gram(x, lax.stop_gradient(Y), h))
+            k = self.gram(x, lax.stop_gradient(Y), h)
+            return jnp.sum(k), k
 
-        K = self.gram(X, Y, h)
-        dK = jax.grad(total)(X)
+        (_, K), dK = jax.value_and_grad(total, has_aux=True)(X)
         return K, dK

@@ -46,6 +46,8 @@ def sharded_dust_forward(
     assert ctrl.kernel_mode == "policy"
     assert ctrl.n_action_samples == 0 and ctrl.n_params_samples == 0
     assert ctrl.n_prim == 0
+    assert ctrl.roll_strategy == "repeat", "sharded DuSt implements 'repeat' only"
+    assert not ctrl.weighted_prior, "sharded DuSt uses uniform prior weights"
     ndev = mesh.shape[axis]
     assert ctrl.n_total % ndev == 0
 
@@ -101,12 +103,7 @@ def sharded_dust_forward(
 
             score = ScoreResult(grad_log_p=grad_pri + grad_lik, loss=costs)
             phi, _ = _velocity_local(sampler, pol, score, jnp.zeros((), jnp.int32), axis)
-            grad = -phi
-            if sampler.optimizer is not None:
-                updates, opt_st = sampler.optimizer.update(grad, opt_st, pol)
-                pol = optax.apply_updates(pol, updates)
-            else:
-                pol = pol - sampler.lr * grad
+            pol, opt_st = sampler.apply_update(pol, -phi, opt_st)
             return (pol, opt_st), costs
 
         keys = jax.random.split(key, opt_steps)

@@ -176,17 +176,7 @@ def sharded_svgd_run(
             x, st = carry
             score = score_fn(x, step_key)
             phi, loss = _velocity_local(svgd, x, score, st.step, axis, col_axis)
-            grad = -phi
-            if svgd.optimizer is not None:
-                updates, opt_state = svgd.optimizer.update(grad, st.opt_state, x)
-                x_new = optax.apply_updates(x, updates)
-            elif svgd.adagrad:
-                inertia = st.opt_state + grad**2
-                x_new = x - svgd.lr * grad / jnp.sqrt(inertia + 1e-12)
-                opt_state = inertia
-            else:
-                x_new = x - svgd.lr * grad
-                opt_state = st.opt_state
+            x_new, opt_state = svgd.apply_update(x, -phi, st.opt_state)
             from ..inference.svgd import SVGDState
 
             # one global scalar loss per step (psum over shards)
@@ -246,10 +236,11 @@ def sharded_pathsig_score(
             tau_cols = tau_all
 
         def gram_sum(xl):
-            return jnp.sum(sig_kernel.gram(paths_of(xl), tau_cols))
+            k = sig_kernel.gram(paths_of(xl), tau_cols)
+            return jnp.sum(k), k
 
-        k_rows = sig_kernel.gram(tau_local, tau_cols)  # [n_local, N or N/sp]
-        grad_k = jax.grad(gram_sum)(x_local)
+        # one PDE solve shared between the Gram rows and their gradient
+        (_, k_rows), grad_k = jax.value_and_grad(gram_sum, has_aux=True)(x_local)
         return ScoreResult(
             grad_log_p=-grad_c, k_xx=k_rows, grad_k=grad_k, loss=cost, aux=aux
         )

@@ -47,11 +47,12 @@ def sample(dist: Distribution, key: jax.Array, shape: Tuple[int, ...]) -> jax.Ar
         eps = jax.random.normal(key, shape + dist.mean.shape, dist.mean.dtype)
         return dist.mean + eps * std
     if isinstance(dist, ParticleGMM):
-        k = dist.means.shape[0]
         key_c, key_n = jax.random.split(key)
         logits = jnp.log(dist.weights)
         comps = jax.random.categorical(key_c, logits, shape=shape)
-        eps = jax.random.normal(key, shape + dist.means.shape[-1:], dist.means.dtype)
+        eps = jax.random.normal(
+            key_n, shape + dist.means.shape[-1:], dist.means.dtype
+        )
         return dist.means[comps] + eps * jnp.sqrt(dist.var)
     raise TypeError(f"Unknown distribution type: {type(dist)}")
 

@@ -33,8 +33,13 @@ def _to_numpy(x):
         return np.asarray(x)
     if isinstance(x, dict):
         return {k: _to_numpy(v) for k, v in x.items()}
-    if isinstance(x, (list, tuple)):
-        return type(x)(_to_numpy(v) for v in x)
+    if isinstance(x, tuple):
+        if hasattr(x, "_fields"):
+            # NamedTuples (RunData, DuStData, ...): positional construction
+            return type(x)(*[_to_numpy(v) for v in x])
+        return tuple(_to_numpy(v) for v in x)
+    if isinstance(x, list):
+        return [_to_numpy(v) for v in x]
     return x
 
 

@@ -151,12 +151,14 @@ def generate_obstacle_map(
         while placed < num_random and attempts < 25 * num_random:
             cx = rng.uniform(*xlim)
             cy = rng.uniform(*ylim)
-            trial = grid.copy()
-            _add_rect(trial, cell_size, offset, cx, cy, *random_shape)
+            # rasterize the candidate alone so overlap against the existing
+            # grid is detectable (adding in place always writes 1s and can
+            # never disagree with occupied cells)
+            candidate = np.zeros_like(grid)
+            _add_rect(candidate, cell_size, offset, cx, cy, *random_shape)
             attempts += 1
-            # accept only obstacles that don't overlap existing ones
-            if not np.any((trial > 0) & (grid > 0) & (trial != grid)):
-                grid = trial
+            if not np.any((candidate > 0) & (grid > 0)):
+                grid = np.maximum(grid, candidate)
                 placed += 1
 
     return ObstacleMap(jnp.asarray(grid), float(cell_size), offset)

@@ -119,3 +119,81 @@ def test_assert_finite_pytree():
     assert_finite_pytree({"a": jnp.ones(3), "b": (jnp.zeros(2), 5)})
     with pytest.raises(FloatingPointError, match="bad"):
         assert_finite_pytree({"bad": jnp.asarray([1.0, np.nan])}, name="state")
+
+
+def test_to_numpy_handles_namedtuples(tmp_path):
+    """save_progress must round-trip the framework's own NamedTuple pytrees."""
+    from sigsvgd_tpu.inference.svgd import RunData
+    from sigsvgd_tpu.utils.helper import load_progress, save_progress
+
+    data = {
+        "run": RunData(trace=jnp.ones((2, 3)), loss=jnp.zeros(2), aux=None),
+        "nested": [(jnp.ones(2), {"a": jnp.zeros(1)})],
+    }
+    save_progress(tmp_path / "exp", data=data)
+    loaded = load_progress(tmp_path / "exp")
+    assert isinstance(loaded["run"], RunData)
+    np.testing.assert_allclose(loaded["run"].trace, 1.0)
+
+
+def test_dust_params_dist_none_with_samples_requested():
+    """n_params_samples>0 with params_dist=None falls back to defaults."""
+    import optax as _optax
+
+    from sigsvgd_tpu.controllers import DuSt
+    from sigsvgd_tpu.kernels import GaussianKernel
+    from sigsvgd_tpu.models import PendulumModel
+
+    model = PendulumModel(dt=0.05)
+    ctrl = DuSt(
+        model=model, hz_len=5, n_pol=4, n_params_samples=3,
+        kernel_mode="policy", kernel=GaussianKernel(),
+        optimizer=_optax.adam(0.1),
+        inst_cost_fn=model.swingup_inst_cost,
+        term_cost_fn=model.swingup_term_cost,
+    )
+    key = jax.random.PRNGKey(0)
+    cstate = ctrl.init(key)
+    a_seq, _, _ = ctrl.forward(jnp.asarray([3.1, 0.0]), cstate, None, key, opt_steps=1)
+    assert np.isfinite(np.asarray(a_seq)).all()
+
+
+def test_gmm_sample_keys_independent():
+    """The component draw and noise draw must use distinct keys."""
+    from sigsvgd_tpu.utils import distributions as du
+
+    gmm = du.ParticleGMM(
+        means=jnp.asarray([[0.0], [100.0]]),
+        var=jnp.asarray(1.0),
+        weights=jnp.asarray([1.0, 1.0]),
+    )
+    key = jax.random.PRNGKey(0)
+    x = du.sample(gmm, key, (5000,))
+    # noise must not be a deterministic function of the component index:
+    # per-component std should be ~1
+    near0 = np.asarray(x[np.asarray(jnp.abs(x[:, 0]) < 50)])
+    nearc = np.asarray(x[np.asarray(jnp.abs(x[:, 0] - 100) < 50)])
+    assert 0.8 < near0.std() < 1.2
+    assert 0.8 < nearc.std() < 1.2
+
+
+def test_random_obstacles_do_not_overlap():
+    from sigsvgd_tpu.utils import obstacle_map as om
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    omap = om.generate_obstacle_map(
+        (10, 10), [(0.0, 0.0, 2.0, 2.0)], 0.1,
+        rng=rng, num_random=5, random_xy_limits=((-3, 3), (-3, 3)),
+        random_shape=(1.5, 1.5),
+    )
+    grid = _np.asarray(omap.grid)
+    # total occupied area should be >= fixed + 5 * random rect areas
+    # (strictly additive only when no random rect overlapped anything)
+    cell_area = 1
+    fixed_cells = 21 * 21  # 2.0/0.1 + rounding
+    rand_cells = 16 * 16
+    occupied = (grid > 0).sum()
+    border = occupied - (grid[4:-4, 4:-4] > 0).sum()
+    interior = occupied - border
+    assert interior >= fixed_cells + 4 * rand_cells  # allow 1 failed placement
