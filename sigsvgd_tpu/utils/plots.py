@@ -145,6 +145,41 @@ def create_video_from_plots(
     return out
 
 
+def plot_particle_ridgeline(
+    particles_over_time: np.ndarray,
+    every: int = 10,
+    bins: int = 40,
+    ax=None,
+    true_value: Optional[float] = None,
+):
+    """Ridgeline of a 1-D particle distribution's evolution (the reference's
+    MPF dynamics-posterior plots, ``plots.py:167-394``).
+
+    ``particles_over_time``: ``[T, n_particles]`` (or ``[T, n, 1]``).
+    """
+    p = np.asarray(particles_over_time)
+    if p.ndim == 3:
+        p = p[..., 0]
+    ax = ax or plt.gca()
+    lo, hi = p.min(), p.max()
+    xs = np.linspace(lo, hi, bins)
+    rows = list(range(0, p.shape[0], every))
+    for rank, t in enumerate(rows):
+        hist, edges = np.histogram(p[t], bins=bins, range=(lo, hi), density=True)
+        centers = 0.5 * (edges[:-1] + edges[1:])
+        base = rank * 1.0
+        ax.fill_between(
+            centers, base, base + hist / max(hist.max(), 1e-9) * 0.9,
+            alpha=0.6, color=cm.viridis(rank / max(len(rows) - 1, 1)),
+        )
+    if true_value is not None:
+        ax.axvline(true_value, color="r", linestyle="--", linewidth=1)
+    ax.set_yticks([r for r in range(len(rows))])
+    ax.set_yticklabels([f"t={t}" for t in rows])
+    ax.set_xlabel("parameter value")
+    return ax
+
+
 def plot_arm_trajectories(
     link_positions: np.ndarray,
     ee_trajectories: Optional[np.ndarray] = None,
@@ -154,13 +189,20 @@ def plot_arm_trajectories(
     """3-D arm/end-effector visualization (matplotlib 3-D; counterpart of the
     reference's plotly ``robot_visualizer.py``).
 
-    ``link_positions``: ``[n_links, 3]`` one arm pose (plotted as a polyline);
-    ``ee_trajectories``: ``[batch, T, 3]`` candidate EE paths.
+    ``link_positions``: ``[n_links, 3]`` one arm pose or ``[n_arms, L, 3]``
+    several (plotted as polylines); ``ee_trajectories``: ``[batch, T, 3]``
+    candidate EE paths.
     """
     fig = plt.figure(figsize=(7, 7))
     ax = fig.add_subplot(projection="3d")
     lp = np.asarray(link_positions)
-    ax.plot(lp[:, 0], lp[:, 1], lp[:, 2], "o-", color="k", linewidth=3, markersize=5)
+    arms = lp[None] if lp.ndim == 2 else lp
+    for i, arm in enumerate(arms):
+        ax.plot(
+            arm[:, 0], arm[:, 1], arm[:, 2], "o-",
+            color="k" if i == 0 else cm.tab10(i % 10),
+            linewidth=3, markersize=5,
+        )
     if ee_trajectories is not None:
         ee = np.asarray(ee_trajectories)
         colors = cm.rainbow(np.linspace(0, 1, ee.shape[0]))

@@ -197,3 +197,19 @@ def test_random_obstacles_do_not_overlap():
     border = occupied - (grid[4:-4, 4:-4] > 0).sum()
     interior = occupied - border
     assert interior >= fixed_cells + 4 * rand_cells  # allow 1 failed placement
+
+
+def test_ridgeline_and_multiarm_plots(tmp_path):
+    import matplotlib.pyplot as plt
+
+    from sigsvgd_tpu.utils.plots import plot_arm_trajectories, plot_particle_ridgeline
+
+    particles = np.random.default_rng(0).normal(2.0, 0.3, size=(50, 30))
+    fig, ax = plt.subplots()
+    plot_particle_ridgeline(particles, every=10, ax=ax, true_value=2.0)
+    fig.savefig(tmp_path / "ridge.png")
+    plt.close(fig)
+
+    arms = np.random.default_rng(1).normal(size=(3, 9, 3))
+    plot_arm_trajectories(arms, path=tmp_path / "arms.png")
+    assert (tmp_path / "ridge.png").exists() and (tmp_path / "arms.png").exists()
