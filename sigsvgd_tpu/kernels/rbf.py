@@ -129,7 +129,12 @@ class IMQKernel(BaseKernel):
 @dataclasses.dataclass(frozen=True)
 class ScaledIMQKernel(BaseKernel):
     r"""Metric-scaled IMQ ``k(x, y) = (1 + 0.5 (x-y)M(x-y)^T/h²)^(-1/2)``
-    (reference ``_kernels.py:242-299``, gradient convention as above)."""
+    (reference ``_kernels.py:242-299``). Unlike plain IMQ, the reference's
+    scaled variant differentiates w.r.t. ``X`` correctly (its ``:291`` uses
+    ``diff @ M`` with ``diff = X - Y``), so our gradient matches it exactly
+    (``test_reference_parity.py``). One deviation: we symmetrize ``M`` like
+    the reference's ScaledGaussian does (its ScaledIMQ's ``M.to(...)`` at
+    ``:287`` is a no-op that drops the stabilization)."""
 
     def __call__(self, X, Y, M=None, h=None, compute_grad: bool = True, **_):
         X, Y = _as2d(X), _as2d(Y)

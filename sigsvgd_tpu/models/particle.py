@@ -129,10 +129,11 @@ class ParticleModel(DynamicsModel):
             next_states = states + x_dot * self.dt * (1.0 - collided[..., None])
         else:
             next_states = states + x_dot * self.dt
-        if self.control_type == "acceleration":
-            vel = jnp.clip(next_states[..., 2:], -self.max_speed, self.max_speed)
-            next_states = jnp.concatenate([next_states[..., :2], vel], axis=-1)
-        return next_states
+        # the reference clamps the LAST TWO state dims to max_speed regardless
+        # of control type (particle.py:171-172) — in velocity mode that is the
+        # position; kept for step-level parity (test_reference_parity.py)
+        clamped = jnp.clip(next_states[..., -2:], -self.max_speed, self.max_speed)
+        return jnp.concatenate([next_states[..., :-2], clamped], axis=-1)
 
     # -- built-in costs (parity: particle.py:175-204) ----------------------
     def default_inst_cost(self, states, actions=None, **_):

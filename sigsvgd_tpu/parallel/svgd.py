@@ -34,28 +34,27 @@ def distributed_median(vals_local: jax.Array, axis, iters: int = 40) -> jax.Arra
     """Exact-to-fp32 median of values sharded over ``axis``.
 
     Bisection on the value range with psum'd rank counts: ~``iters`` scalar
-    all-reduces instead of gathering the full tensor. Interpolates the two
-    middle order statistics like ``jnp.median`` so the sharded bandwidth
+    all-reduces instead of gathering the full tensor. Returns the LOWER of
+    the two middle order statistics for even counts — ``torch.median``'s
+    convention, matching ``utils.math.bw_median`` — so the sharded bandwidth
     matches the single-device one bit-for-bit up to fp tolerance.
     """
     v = vals_local.reshape(-1)
     n_total = lax.psum(v.shape[0], axis)
-    k_lo = (n_total - 1) // 2  # 0-indexed lower-middle order statistic
-    k_hi = n_total // 2
-    ks = jnp.asarray([k_lo, k_hi])
+    k = (n_total - 1) // 2  # 0-indexed lower-middle order statistic
 
-    lo = jnp.full((2,), lax.pmin(jnp.min(v), axis))
-    hi = jnp.full((2,), lax.pmax(jnp.max(v), axis))
+    lo = lax.pmin(jnp.min(v), axis)
+    hi = lax.pmax(jnp.max(v), axis)
 
     def body(_, carry):
         lo, hi = carry
         mid = 0.5 * (lo + hi)
-        cnt = lax.psum(jnp.sum(v[None, :] <= mid[:, None], axis=1), axis)
-        go_down = cnt >= ks + 1  # kth order stat lies at or below mid
+        cnt = lax.psum(jnp.sum(v <= mid), axis)
+        go_down = cnt >= k + 1  # kth order stat lies at or below mid
         return jnp.where(go_down, lo, mid), jnp.where(go_down, mid, hi)
 
     lo, hi = lax.fori_loop(0, iters, body, (lo, hi))
-    return 0.5 * (hi[0] + hi[1])
+    return hi
 
 
 def _velocity_local(

@@ -71,27 +71,38 @@ def bw_median(sq_dists: jax.Array, bw_scale: float = 1.0, tol: float = 1e-8) -> 
     ``h = bw_scale * sqrt(median(d²) / log(n + 1))`` clamped to ``tol``
     (parity: reference ``src/utils/math.py:28-34``). Data-dependent but
     shape-static, so it is fine inside ``jit``.
+
+    The median is ``torch.median``'s convention — the LOWER of the two middle
+    order statistics for even counts (``jnp.median`` would interpolate);
+    verified bit-comparable in ``test_reference_parity.py``.
     """
     n = sq_dists.shape[0]
-    h2 = jnp.median(sq_dists) / jnp.log(n + 1.0)
+    flat = sq_dists.reshape(-1)
+    k = (flat.shape[0] - 1) // 2
+    med = jnp.partition(flat, k)[k]
+    h2 = med / jnp.log(n + 1.0)
     return jnp.maximum(bw_scale * jnp.sqrt(h2), tol)
 
 
 def bw_silverman(x: jax.Array, bw_scale: float = 1.0) -> jax.Array:
     """Silverman's rule-of-thumb bandwidth over axis 0 of ``x``.
 
-    ``0.9 * A * n^(-1/5)`` with ``A = min(std, IQR/1.349)`` computed per
-    column; follows the statsmodels variant the reference uses
-    (``src/utils/math.py:10-66``): the IQR is only used when it is positive
-    and smaller than the smallest per-column std.
+    ``0.9 * A * n^(-1/5)`` with ``A = min(std, IQR/1.349)``; follows the
+    statsmodels variant the reference uses (``src/utils/math.py:10-66``)
+    exactly: the IQR is a *scalar* over the flattened array (scipy
+    ``scoreatpercentile`` default axis=None) and is only used when positive
+    and smaller than the smallest per-column std, else the per-column std
+    vector is returned. Verified against the reference in
+    ``test_reference_parity.py``.
     """
     n = x.shape[0]
-    q75 = jnp.percentile(x, 75, axis=0)
-    q25 = jnp.percentile(x, 25, axis=0)
+    flat = x.reshape(-1)
+    q75 = jnp.percentile(flat, 75)
+    q25 = jnp.percentile(flat, 25)
     iqr = (q75 - q25) / 1.349
     std = jnp.std(x, axis=0, ddof=1)
-    use_iqr = jnp.logical_and(jnp.all(iqr > 0), jnp.all(iqr < jnp.min(std)))
-    a = jnp.where(use_iqr, iqr, std)
+    use_iqr = jnp.logical_and(iqr > 0, iqr < jnp.min(std))
+    a = jnp.where(use_iqr, jnp.broadcast_to(iqr, std.shape), std)
     return bw_scale * 0.9 * a * n ** (-0.2)
 
 

@@ -57,7 +57,16 @@ def to_map_coord(omap: ObstacleMap, xy: jax.Array) -> jax.Array:
 
 
 def _add_rect(grid: np.ndarray, cell_size: float, offset, cx, cy, w, h) -> None:
-    """Rasterize an axis-aligned rectangle (center, width, height) in-place."""
+    """Rasterize an axis-aligned rectangle (center, width, height) in-place.
+
+    Reference-exact (``src/utils/obstacle.py:14-15,56-69``, verified cell-for-
+    cell in ``test_reference_parity.py``), including its quirks: centers are
+    ``int()``-truncated, cell extents are ``ceil``-rounded, and the raw python
+    slice is used — so a rectangle whose start index is negative rasterizes
+    nothing (which is why the reference's left/bottom border walls are absent
+    from its maps).
+    """
+    cx, cy = int(cx), int(cy)
     wc = math.ceil(w / cell_size)
     hc = math.ceil(h / cell_size)
     cxc = math.ceil(cx / cell_size)
@@ -66,7 +75,7 @@ def _add_rect(grid: np.ndarray, cell_size: float, offset, cx, cy, w, h) -> None:
     x1 = cxc + math.ceil(wc / 2.0) + offset[0]
     y0 = cyc - math.ceil(hc / 2.0) + offset[1]
     y1 = cyc + math.ceil(hc / 2.0) + offset[1]
-    grid[max(x0, 0) : max(x1, 0), max(y0, 0) : max(y1, 0)] = 1.0
+    grid[x0:x1, y0:y1] = 1.0
 
 
 def obstacle_preset(name: str, width: float = 2.0) -> List[Tuple[float, float, float, float]]:

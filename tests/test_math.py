@@ -33,10 +33,20 @@ def test_scaled_pw_dist_sq_matches_naive(rng):
 
 
 def test_bw_median(rng):
+    # torch.median semantics (reference parity): LOWER-middle order statistic
+    # for even element counts, not numpy's interpolated median
     d2 = np.abs(rng.standard_normal((10, 10))).astype(np.float32)
     got = float(m.bw_median(jnp.asarray(d2)))
-    want = np.sqrt(np.median(d2) / np.log(11.0))
+    lower_mid = np.sort(d2.ravel())[(d2.size - 1) // 2]
+    want = np.sqrt(lower_mid / np.log(11.0))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+    # odd count: agrees with numpy's median exactly
+    d2o = d2.ravel()[:81].reshape(9, 9)
+    np.testing.assert_allclose(
+        float(m.bw_median(jnp.asarray(d2o))),
+        np.sqrt(np.median(d2o) / np.log(10.0)),
+        rtol=1e-5,
+    )
 
 
 def test_gmm_log_prob_matches_scipy_style(rng):
