@@ -291,15 +291,18 @@ class DuSt:
         if self.kernel_mode == "signature":
             # one rollout + Gram forward shared between K and its pull-back
             # gradient (value_and_grad with the Gram as aux — gram/grad each
-            # being solved separately doubles the dominant PDE cost)
+            # being solved separately doubles the dominant PDE cost). The
+            # symmetric upper-triangle Gram halves the PDE work again; its
+            # gradient flows through both kernel arguments, so ×0.5 recovers
+            # the detached-second-argument repulsion (sigkernel.gram_sym).
             def gram_sum(pm):
-                k = self.sig_kernel.gram(tau_of(pm), ref)
+                k = self.sig_kernel.gram_sym(tau_of(pm))
                 return jnp.sum(k), k
 
             (_, k_xx), grad_k = jax.value_and_grad(gram_sum, has_aux=True)(
                 pol_mean
             )
-            return k_xx, grad_k
+            return k_xx, 0.5 * grad_k
         if self.kernel_mode == "trajectory":
             # per-dimension RBF on trajectory projections, grads via AD
             # (trajectory_svgd.py:32-47)

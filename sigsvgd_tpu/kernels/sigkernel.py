@@ -27,7 +27,7 @@ step. ``float32`` on TPU — validated against a float64 reference solver in
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -191,21 +191,16 @@ def _goursat_fwd_edges(coef_a, coef_b, gx, gy, lam):
         new = (dm1 + jnp.roll(dm1, 1, axis=1)) * a - jnp.roll(dm2, 1, axis=1) * bb
         new = jnp.where(interior[None, :], new, 1.0)
         # top-row node on this diagonal: slot gx → T[s-gx]; right-column
-        # node: slot s-gy → R[s-gy] (dynamic single-column updates)
-        T = lax.cond(
-            (s >= gx) & (s <= s_last),
-            lambda T: T.at[:, jnp.clip(s - gx, 0, gy)].set(new[:, gx]),
-            lambda T: T,
-            T,
-        )
-        R = lax.cond(
-            (s >= gy) & (s <= s_last),
-            lambda R: R.at[:, jnp.clip(s - gy, 0, gx)].set(
-                new[:, jnp.clip(s - gy, 0, gx)]
-            ),
-            lambda R: R,
-            R,
-        )
+        # node: slot s-gy → R[s-gy]. Unconditional dynamic column updates
+        # with a masked value: wrapping these in lax.cond would force XLA to
+        # copy the full [B, G] carry every step instead of aliasing in place
+        # (measured 10x+ slowdown through the HBM)
+        tj = jnp.clip(s - gx, 0, gy)
+        tval = jnp.where((s >= gx) & (s <= s_last), new[:, gx], T[:, tj])
+        T = lax.dynamic_update_slice_in_dim(T, tval[:, None], tj, axis=1)
+        ri = jnp.clip(s - gy, 0, gx)
+        rval = jnp.where((s >= gy) & (s <= s_last), new[:, ri], R[:, ri])
+        R = lax.dynamic_update_slice_in_dim(R, rval[:, None], ri, axis=1)
         # padded steps beyond the last diagonal leave the carry untouched
         valid = s <= s_last
         dm2n = jnp.where(valid, dm1, dm2)
@@ -397,6 +392,119 @@ solve_goursat_pde.defvjp(_solve_fwd, _solve_bwd)
 
 
 # ---------------------------------------------------------------------------
+# MXU block-propagator solver (high dyadic orders).
+#
+# Within one m×m block of fine cells sharing a single z (m ≤ 2^λ, so blocks
+# never straddle coarse cells), the recurrence is LINEAR with constant
+# coefficients: the map from the block's south row + west column (2m+1 nodes)
+# to its north row + east column is a matrix M(z) = Σ_d z^d M_d whose basis
+# matrices M_d are data-independent and precomputed once. z = inc/4^λ is
+# O(inc/m²) per fine cell, so the series in the *block-total* increment
+# converges like inc^d/d! — degree ~10 reaches fp32 accuracy for |inc| ≤ 2.
+#
+# Each block hop is then a [B, 2m+1] × [2m+1, (D+1)(2m+1)] matmul — MXU work
+# at ~10-25x the VPU throughput of the anti-diagonal wavefront, and the whole
+# grid takes (G/m)² hops instead of 2G sequential diagonal updates. Used for
+# dyadic_order ≥ 4 (m ≥ 16: contraction dims large enough for MXU
+# efficiency); the wavefront remains the general path.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=8)
+def _propagator_polys(m: int, degree: int):
+    """Basis matrices ``M_d [degree+1, 2m+1, 2m+1]`` (numpy, cached) with
+    ``out = Σ_d z^d M_d @ in`` for one m×m constant-z block.
+
+    in  = [south row nodes i=0..m] ++ [west col nodes j=1..m]
+    out = [north row nodes i=0..m] ++ [east col nodes j=1..m]
+    """
+    import numpy as np
+
+    D = degree
+    nb = 2 * m + 1
+    a = np.zeros(D + 1)
+    a[0] = 1.0
+    if D >= 1:
+        a[1] = 0.5
+    if D >= 2:
+        a[2] = 1.0 / 12.0
+    bp = np.zeros(D + 1)
+    bp[0] = 1.0
+    if D >= 2:
+        bp[2] = -1.0 / 12.0
+
+    def pmul(p, q):
+        out = np.zeros_like(p)
+        for d in range(D + 1):
+            if q[d] != 0.0:
+                out[:, d:] += p[:, : D + 1 - d] * q[d]
+        return out
+
+    # node polynomials [nb(basis), D+1]; south row = basis e_0..e_m
+    prev = [np.zeros((nb, D + 1)) for _ in range(m + 1)]
+    for i in range(m + 1):
+        prev[i][i, 0] = 1.0
+    east = []
+    for j in range(1, m + 1):
+        row = [np.zeros((nb, D + 1))]
+        row[0][m + j, 0] = 1.0  # west input node (0, j)
+        for i in range(1, m + 1):
+            row.append(pmul(prev[i] + row[i - 1], a) - pmul(prev[i - 1], bp))
+        east.append(row[m])
+        prev = row
+    outs = prev + east  # north row (i=0..m at j=m) ++ east col (j=1..m)
+    M = np.stack([np.stack([o[:, d] for o in outs]) for d in range(D + 1)])
+    return np.ascontiguousarray(M, dtype=np.float32)
+
+
+def solve_goursat_pde_mxu(
+    inc: jax.Array, dyadic_order: int, degree: int = 10, block_m: Optional[int] = None
+) -> jax.Array:
+    """Block-propagator PDE solve: values match :func:`solve_goursat_pde_scan`
+    to the polynomial-truncation tolerance (tested); differentiable by plain
+    JAX AD (each block hop is checkpointed so backward recomputes the
+    [B, D+1, 2m+1] temporary instead of storing it)."""
+    b, lx1, ly1 = inc.shape
+    lam = dyadic_order
+    m = block_m or min(64, 1 << lam)
+    assert (1 << lam) % m == 0, "block size must divide the dyadic refinement"
+    sub = (1 << lam) // m
+    nbx, nby = lx1 * sub, ly1 * sub
+    Md = jnp.asarray(_propagator_polys(m, degree))  # [D+1, nb, nb]
+
+    z = inc / float(4**lam)
+    degs = jnp.arange(degree + 1, dtype=inc.dtype)
+
+    @jax.checkpoint
+    def prop(inp, zcell):
+        # z-powers are built per block from the scalar z (a global
+        # [B, lx1, ly1, D+1] tensor picks up 32-128x TPU tile padding in the
+        # AD accumulators and OOMs at 10⁶ pairs); one shared-lhs matmul
+        # against all degree slices, then the degree contraction
+        zp = zcell[:, None] ** degs[None, :]  # [B, D+1]
+        tmp = jnp.einsum("be,kfe->bkf", inp, Md, precision=lax.Precision.HIGHEST)
+        return jnp.einsum("bkf,bk->bf", tmp, zp, precision=lax.Precision.HIGHEST)
+
+    rows = [jnp.ones((b, m + 1), inc.dtype) for _ in range(nbx)]
+    for J in range(nby):
+        west = jnp.ones((b, m), inc.dtype)
+        for I in range(nbx):
+            inp = jnp.concatenate([rows[I], west], axis=-1)
+            out = prop(inp, z[:, I // sub, J // sub])
+            rows[I] = out[:, : m + 1]
+            west = out[:, m + 1 :]
+    return rows[-1][:, m]
+
+
+def _mxu_eligible(lx1: int, ly1: int, dyadic_order: int) -> bool:
+    if dyadic_order < 4:
+        return False
+    m = min(64, 1 << dyadic_order)
+    sub = (1 << dyadic_order) // m
+    return (lx1 * sub) * (ly1 * sub) <= 256  # unrolled block count cap
+
+
+# ---------------------------------------------------------------------------
 # User-facing kernel.
 # ---------------------------------------------------------------------------
 
@@ -421,43 +529,135 @@ class SignatureKernel:
     bandwidth: Optional[float] = None
     bw_scale: float = 1.0
     static: str = "rbf"
+    # "auto" uses the MXU block-propagator for dyadic_order ≥ 4 (where the
+    # block edges are MXU-sized) and the wavefront otherwise
+    solver: str = "auto"  # auto | wavefront | mxu
+    mxu_degree: int = 10
+
+    def _solve(self, inc: jax.Array, chunk: int) -> jax.Array:
+        lx1, ly1 = inc.shape[-2], inc.shape[-1]
+        use_mxu = self.solver == "mxu" or (
+            self.solver == "auto" and _mxu_eligible(lx1, ly1, self.dyadic_order)
+        )
+        if use_mxu:
+            return solve_goursat_pde_mxu(inc, self.dyadic_order, self.mxu_degree)
+        return solve_goursat_pde(inc, self.dyadic_order, chunk)
+
+    # above this many floats for the [n, m, L, L'] static-Gram tensor, the
+    # pipeline switches to pair-chunked streaming (static Gram + increments +
+    # PDE solve per block) so nothing O(n·m·L²) is ever materialized
+    _DENSE_LIMIT = 2 * 10**8
 
     def gram(self, X: jax.Array, Y: jax.Array) -> jax.Array:
         """Full Gram ``K [n, m]`` for path batches ``[n, L, C]``, ``[m, L, C]``."""
         n, m = X.shape[0], Y.shape[0]
+        lx1, ly1 = X.shape[1] - 1, Y.shape[1] - 1
+        if n * m * X.shape[1] * Y.shape[1] > self._DENSE_LIMIT:
+            return self._gram_chunked_pairs(X, Y)
         if self.static == "linear":
             g = static_gram_linear(X, Y)
         else:
             d2 = _pair_sq_dists(X, Y)
-            if self.bandwidth is not None:
-                h = jnp.asarray(self.bandwidth, X.dtype)
-            else:
-                # median-heuristic over the full distance tensor, used directly
-                # as κ = exp(-d²/h) — parity with the reference's
-                # BatchGaussianKernel.Gram_matrix (``_traj_kernels.py:176-195``)
-                h = bw_median(d2.reshape(n, -1), self.bw_scale)
+            h = self._bandwidth_from(d2.reshape(n, -1), X.dtype)
             g = jnp.exp(-d2 / h)
-        lx1, ly1 = X.shape[1] - 1, Y.shape[1] - 1
         inc = gram_increments(g).reshape(n * m, lx1, ly1)
         chunk = auto_chunk(lx1, ly1, self.dyadic_order)
-        return solve_goursat_pde(inc, self.dyadic_order, chunk).reshape(n, m)
+        return self._solve(inc, chunk).reshape(n, m)
+
+    def _bandwidth_from(self, d2_flat: jax.Array, dtype) -> jax.Array:
+        if self.bandwidth is not None:
+            return jnp.asarray(self.bandwidth, dtype)
+        # median-heuristic over the distance tensor, used directly as
+        # κ = exp(-d²/h) — parity with the reference's
+        # BatchGaussianKernel.Gram_matrix (``_traj_kernels.py:176-195``)
+        return bw_median(d2_flat, self.bw_scale)
+
+    def _subsampled_bandwidth(self, X: jax.Array, Y: jax.Array) -> Optional[jax.Array]:
+        """Bandwidth for the streamed paths. Median at huge scale is estimated
+        from the first ``256×256`` path block rather than the full 10⁹-entry
+        distance tensor — a documented deviation; pass ``bandwidth=``
+        explicitly for exact parity (the reference's flagship configs do fix
+        it, e.g. ``script_planning_robot.py:516``)."""
+        if self.static == "linear":
+            return None
+        ns, ms = min(X.shape[0], 256), min(Y.shape[0], 256)
+        d2s = _pair_sq_dists(X[:ns], Y[:ms])
+        return self._bandwidth_from(d2s.reshape(ns, -1), X.dtype)
+
+    def _pair_values(self, X, Y, ix, iy, h) -> jax.Array:
+        """Signature-kernel values for an explicit pair list ``(ix, iy)``
+        (padded to a chunk multiple): gathers path pairs block-by-block,
+        computes the static Gram, increments, and PDE solve per block under
+        ``jax.checkpoint`` (backward recomputes the O(block·L²) statics
+        instead of storing them for every pair)."""
+        lx1, ly1 = X.shape[1] - 1, Y.shape[1] - 1
+        lam = self.dyadic_order
+        total = ix.shape[0]
+        # never pad a small pair list up to the memory-budget chunk size
+        chunk = min(auto_chunk(lx1, ly1, lam), total)
+        nb = -(-total // chunk)
+        pad = nb * chunk - total
+        if pad:
+            ix = jnp.concatenate([ix, jnp.zeros((pad,), ix.dtype)])
+            iy = jnp.concatenate([iy, jnp.zeros((pad,), iy.dtype)])
+
+        @jax.checkpoint
+        def block(ab):
+            ixc, iyc = ab
+            xc, yc = X[ixc], Y[iyc]  # [c, L, C]
+            if self.static == "linear":
+                g = jnp.einsum("cpk,cqk->cpq", xc, yc)
+            else:
+                xn = jnp.sum(xc * xc, axis=-1)
+                yn = jnp.sum(yc * yc, axis=-1)
+                cross = jnp.einsum("cpk,cqk->cpq", xc, yc)
+                d2 = jnp.maximum(xn[:, :, None] + yn[:, None, :] - 2.0 * cross, 0.0)
+                g = jnp.exp(-d2 / h)
+            inc = gram_increments(g)
+            return self._solve(inc, chunk)
+
+        out = lax.map(block, (ix.reshape(nb, chunk), iy.reshape(nb, chunk)))
+        return out.reshape(-1)[:total]
+
+    def _gram_chunked_pairs(self, X: jax.Array, Y: jax.Array) -> jax.Array:
+        """Streamed full Gram for huge pair counts (e.g. 1k-particle MPC:
+        10⁶ pairs × 41-point paths) — nothing O(n·m·L²) is materialized."""
+        n, m = X.shape[0], Y.shape[0]
+        h = self._subsampled_bandwidth(X, Y)
+        idx = jnp.arange(n * m)
+        return self._pair_values(X, Y, idx // m, idx % m, h).reshape(n, m)
+
+    def gram_sym(self, X: jax.Array) -> jax.Array:
+        """Symmetric Gram ``K(X, X)`` computed from the ``n(n+1)/2`` upper-
+        triangle pairs only (~2x less PDE work than :meth:`gram`); the values
+        are scattered into both halves, so gradients flow through BOTH
+        arguments: ``grad(sum(gram_sym(x)))`` equals ``2x`` the repulsion
+        gradient ``grad(sum(gram(x, stop_gradient(x))))`` — callers must
+        halve it (:meth:`gram_and_grad` does)."""
+        n = X.shape[0]
+        iu, ju = jnp.triu_indices(n)
+        h = self._subsampled_bandwidth(X, X)
+        vals = self._pair_values(X, X, iu, ju, h)
+        K = jnp.zeros((n, n), X.dtype).at[iu, ju].set(vals)
+        return K + jnp.triu(K, 1).T
 
     def __call__(self, X: jax.Array, Y: jax.Array, **_) -> jax.Array:
         return self.gram(X, Y)
 
     def gram_and_grad(self, X: jax.Array, wrt: Optional[jax.Array] = None):
-        """``(K, ∂ΣK/∂wrt)`` with the second argument detached — the
-        quantity TrajectorySVGD consumes (``trajectory_svgd.py:55-69``).
+        """``(K, ∂ΣK/∂X)`` with the second argument detached — the quantity
+        TrajectorySVGD consumes (``trajectory_svgd.py:55-69``).
 
-        ``wrt`` defaults to ``X`` itself; pass a different tensor (e.g. the
-        actions that generated trajectories ``X``) by closing over it upstream.
+        Computed from the upper-triangle pairs only (:meth:`gram_sym`): by
+        the kernel's symmetry ``Σ_j ∂₁k(x_i, x_j) = ½ ∂/∂x_i Σ_{jl} k(x_j,
+        x_l)``, so one ~half-size PDE solve yields both K and the detached-
+        second-argument gradient.
         """
-        ref = lax.stop_gradient(X)
 
         def total(x):
-            k = self.gram(x, ref)
+            k = self.gram_sym(x)
             return jnp.sum(k), k
 
         # one PDE solve (forward shared between the Gram and its gradient)
         (_, k), dk = jax.value_and_grad(total, has_aux=True)(X)
-        return k, dk
+        return k, 0.5 * dk

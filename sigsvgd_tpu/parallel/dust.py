@@ -2,17 +2,23 @@
 
 One MPC solve with the policy particles sharded over 'dp': rollouts, costs,
 likelihood gradients and optimizer updates are local to each shard; the
-global couplings are exactly four collectives per SVGD step —
+global couplings are a handful of collectives per SVGD step —
 
   * ``pmin`` for the exponentiated-utility min-subtraction,
   * ``all_gather`` of policy means for the GMM prior gradient,
-  * ``all_gather`` + Gram rows for the kernel terms (via
-    ``parallel.svgd._velocity_local``),
+  * kernel terms: policy mode gathers particle rows and forms Gram rows
+    (``parallel.svgd._velocity_local``); SIGNATURE mode all_gathers the τ
+    trajectory projections and each shard solves its ``[n_local, N]`` (or 2-D
+    ``[n_local, N/sp]``) block of the Goursat-PDE Gram locally, pulling the
+    kernel gradient back through its own rollouts,
   * ``psum`` for the final softmax policy weights.
 
-Covers the policy-RBF kernel mode with the autodiff likelihood path (the
-production MPC configuration benchmarked in ``bench.py``); matches the
-single-device :meth:`DuSt.forward` to fp tolerance (tests/test_parallel.py).
+Supports ``kernel_mode ∈ {policy, signature}``, the autodiff AND Monte-Carlo
+likelihood-gradient paths (``n_action_samples > 0``), and dynamics-parameter
+samples (``n_params_samples > 0``). Monte-Carlo draws replicate the
+single-device PRNG stream (each shard draws the full eps tensor and slices
+its rows), so results match the single-device :meth:`DuSt.forward` to fp
+tolerance — asserted in tests/test_parallel_dust.py.
 """
 from __future__ import annotations
 
@@ -21,13 +27,13 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..controllers.dust import DuSt, DuStState
 from ..inference.svgd import ScoreResult, SVGDState
+from ..utils import distributions as du
 from ..utils.math import grad_gmm_log_p
 from .svgd import _velocity_local
 
@@ -40,11 +46,18 @@ def sharded_dust_forward(
     opt_steps: int,
     mesh: Mesh,
     axis: str = "dp",
+    col_axis: Optional[str] = None,
+    params_dist: Optional[du.Distribution] = None,
 ) -> Tuple[jax.Array, DuStState]:
-    """Sharded MPC solve. Restrictions (asserted): ``kernel_mode='policy'``,
-    ``n_action_samples=0``, ``n_params_samples=0``, no action primitives."""
-    assert ctrl.kernel_mode == "policy"
-    assert ctrl.n_action_samples == 0 and ctrl.n_params_samples == 0
+    """Sharded MPC solve. Restrictions (asserted): no action primitives,
+    ``roll_strategy='repeat'``, uniform prior weights; signature mode needs a
+    fixed static-kernel bandwidth (per-shard medians would disagree)."""
+    assert ctrl.kernel_mode in ("policy", "signature")
+    if ctrl.kernel_mode == "signature":
+        assert (
+            ctrl.sig_kernel.bandwidth is not None
+            or ctrl.sig_kernel.static == "linear"
+        ), "sharded signature mode requires a fixed static bandwidth"
     assert ctrl.n_prim == 0
     assert ctrl.roll_strategy == "repeat", "sharded DuSt implements 'repeat' only"
     assert not ctrl.weighted_prior, "sharded DuSt uses uniform prior weights"
@@ -53,6 +66,10 @@ def sharded_dust_forward(
 
     sampler = ctrl._sampler()
     prior_var = ctrl._prior_var()
+    n_samples = ctrl.n_action_samples
+    cov = ctrl._pol_cov()
+    chol = jnp.linalg.cholesky(cov)
+    pre = jnp.linalg.inv(cov)
 
     # optimizer-state leaves follow the particle sharding when their leading
     # dim is the particle axis (adam moments), else replicate (step counts)
@@ -73,6 +90,7 @@ def sharded_dust_forward(
     )
     def solve(state, pol_local, opt_state_local, key):
         n_local = pol_local.shape[0]
+        row0 = lax.axis_index(axis) * n_local
         # GMM prior is anchored at the solve's INITIAL policies (gathered
         # once — the reference builds `prior` per forward, dust.py:484)
         prior_means = lax.all_gather(
@@ -80,19 +98,73 @@ def sharded_dust_forward(
         )
         n_total = prior_means.shape[0]
 
+        # mirror the single-device key flow exactly (dust.py::forward)
+        key2, key_par = jax.random.split(key)
+        if ctrl.n_params_samples > 0 and params_dist is not None:
+            params_mat = du.sample(
+                params_dist, key_par, (ctrl.n_params_samples,)
+            )
+            params_mat = jnp.atleast_2d(
+                params_mat.reshape(ctrl.n_params_samples, -1)
+            )
+            if ctrl.params_log_space:
+                params_mat = jnp.exp(params_mat)
+        else:
+            params_mat = None
+        all_keys = jax.random.split(key2, opt_steps + 1)
+
+        def kernel_terms(pol, trajs, offsets):
+            """Signature-mode Gram block + pull-back gradient (local rows)."""
+            tau_local = ctrl._tau(trajs)
+            tau_all = lax.stop_gradient(
+                lax.all_gather(tau_local, axis, tiled=True)
+            )
+            if col_axis is not None:
+                sp = lax.psum(1, col_axis)
+                cols = tau_all.shape[0] // sp
+                col0 = lax.axis_index(col_axis) * cols
+                tau_cols = lax.dynamic_slice_in_dim(tau_all, col0, cols, axis=0)
+            else:
+                tau_cols = tau_all
+
+            def gram_sum(pm):
+                acts = pm if offsets is None else pm[None] + offsets
+                _, tr = ctrl._rollout_costs(state, acts, params_mat)
+                k = ctrl.sig_kernel.gram(ctrl._tau(tr), tau_cols)
+                return jnp.sum(k), k
+
+            (_, k_rows), grad_k = jax.value_and_grad(gram_sum, has_aux=True)(pol)
+            return k_rows, grad_k
+
         def svgd_step(carry, step_key):
             pol, opt_st = carry
 
-            # the min-subtraction is detached, so ∇ Σ log_lik = -∇ Σ c / α —
-            # differentiate the raw cost sum (pmin has no AD rule and is not
-            # needed under the gradient)
-            def neg_cost_sum(pm):
-                costs, _ = ctrl._rollout_costs(state, pm, None)
-                return -jnp.sum(costs) / ctrl.temperature, costs
+            if n_samples > 0:
+                # replicate the single-device draw, slice this shard's rows
+                eps_full = jax.random.normal(
+                    step_key,
+                    (n_samples, n_total) + pol.shape[1:],
+                    pol.dtype,
+                )
+                eps = lax.dynamic_slice_in_dim(eps_full, row0, n_local, axis=1)
+                actions = pol[None] + eps @ chol.T
+                costs, trajs = ctrl._rollout_costs(state, actions, params_mat)
+                # softmax over the sample axis: the global min-shift cancels
+                log_lik_local = -costs / ctrl.temperature
+                w = jax.nn.softmax(log_lik_local, axis=0)[..., None, None]
+                grad_log_pol = (actions - pol[None]) @ pre
+                grad_lik = jnp.sum(w * grad_log_pol, axis=0)
+                offsets = lax.stop_gradient(actions - pol[None])
+            else:
+                # the min-subtraction is detached, so ∇ Σ log_lik = -∇ Σ c / α
+                def neg_cost_sum(pm):
+                    c, tr = ctrl._rollout_costs(state, pm, params_mat)
+                    return -jnp.sum(c) / ctrl.temperature, (c, tr)
 
-            (_, costs), grad_lik = jax.value_and_grad(
-                neg_cost_sum, has_aux=True
-            )(pol)
+                (_, (costs, trajs)), grad_lik = jax.value_and_grad(
+                    neg_cost_sum, has_aux=True
+                )(pol)
+                offsets = None
 
             grad_pri = grad_gmm_log_p(
                 pol.reshape(n_local, -1),
@@ -101,30 +173,47 @@ def sharded_dust_forward(
                 jnp.ones((n_total,), pol.dtype),
             ).reshape(pol.shape)
 
-            score = ScoreResult(grad_log_p=grad_pri + grad_lik, loss=costs)
-            phi, _ = _velocity_local(sampler, pol, score, jnp.zeros((), jnp.int32), axis)
+            if ctrl.kernel_mode == "signature":
+                k_rows, grad_k = kernel_terms(pol, trajs, offsets)
+            else:
+                k_rows = grad_k = None
+
+            score = ScoreResult(
+                grad_log_p=grad_pri + grad_lik,
+                k_xx=k_rows,
+                grad_k=grad_k,
+                loss=costs,
+            )
+            phi, _ = _velocity_local(
+                sampler, pol, score, jnp.zeros((), jnp.int32), axis, col_axis
+            )
             pol, opt_st = sampler.apply_update(pol, -phi, opt_st)
             return (pol, opt_st), costs
 
-        keys = jax.random.split(key, opt_steps)
         (pol, opt_state_local), costs_seq = lax.scan(
-            svgd_step, (pol_local, opt_state_local), keys
+            svgd_step, (pol_local, opt_state_local), all_keys[:opt_steps]
         )
 
         # global softmax policy weights from the last iteration's costs
         last = costs_seq[-1]
+        if n_samples > 0:
+            last = jnp.mean(last, axis=0)  # average log-lik over samples
         gmin = lax.pmin(jnp.min(last), axis)
         logits = -(last - gmin) / ctrl.temperature
         z = lax.psum(jnp.sum(jnp.exp(logits)), axis)
         weights_local = jnp.exp(logits) / z
 
-        # global best policy: owner shard contributes, psum broadcasts
+        # global best policy: owner shard contributes, psum broadcasts.
+        # Ties broken by LOWEST GLOBAL INDEX (matching single-device argmax),
+        # not weight-equality alone — exact cross-shard ties would otherwise
+        # SUM the tied policies.
         best_local = jnp.argmax(weights_local)
         best_w = weights_local[best_local]
         gmax_w = lax.pmax(best_w, axis)
-        is_owner = (best_w == gmax_w).astype(pol.dtype)
+        cand_idx = jnp.where(best_w == gmax_w, row0 + best_local, n_total)
+        owner_idx = lax.pmin(cand_idx, axis)
+        is_owner = (row0 + best_local == owner_idx).astype(pol.dtype)
         a_seq = lax.psum(pol[best_local] * is_owner, axis)
-        # (exact ties across shards would sum; measure-zero for continuous costs)
 
         rolled = jnp.roll(pol, -1, axis=-2)
         rolled = rolled.at[..., -1, :].set(rolled[..., -2, :])  # repeat strategy
@@ -144,14 +233,20 @@ def sharded_dust_forward(
 
 
 def make_sharded_mpc_step(
-    ctrl: DuSt, mesh: Mesh, opt_steps: int, axis: str = "dp"
+    ctrl: DuSt,
+    mesh: Mesh,
+    opt_steps: int,
+    axis: str = "dp",
+    col_axis: Optional[str] = None,
+    params_dist: Optional[du.Distribution] = None,
 ):
     """Jitted closed-loop step: sharded solve + environment transition."""
 
     @jax.jit
     def step(state, cstate, key):
         a_seq, cstate = sharded_dust_forward(
-            ctrl, state, cstate, key, opt_steps, mesh, axis
+            ctrl, state, cstate, key, opt_steps, mesh, axis, col_axis,
+            params_dist,
         )
         nxt = ctrl.model.step(state[None], a_seq[0:1])[0]
         return nxt, cstate, a_seq

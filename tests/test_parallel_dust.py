@@ -61,3 +61,90 @@ def test_sharded_dust_closed_loop():
     assert np.isfinite(np.asarray(state)).all()
     assert np.isfinite(np.asarray(cstate.pol_mean)).all()
     assert int(cstate.svgd_state.step) == 24
+
+
+def _sig_controller(n_pol=16, n_action_samples=0, n_params_samples=0):
+    from sigsvgd_tpu.kernels import SignatureKernel
+
+    model = PendulumModel(dt=0.05)
+    return DuSt(
+        model=model,
+        hz_len=8,
+        n_pol=n_pol,
+        n_action_samples=n_action_samples,
+        n_params_samples=n_params_samples,
+        kernel_mode="signature",
+        sig_kernel=SignatureKernel(dyadic_order=2, bandwidth=2.0),
+        optimizer=optax.adam(0.1),
+        inst_cost_fn=model.swingup_inst_cost,
+        term_cost_fn=model.swingup_term_cost,
+    )
+
+
+def test_sharded_dust_signature_matches_single_device():
+    """Signature-kernel mode: τ all_gather + per-shard PDE Gram blocks must
+    reproduce the single-device solve."""
+    ctrl = _sig_controller()
+    key = jax.random.PRNGKey(2)
+    cstate = ctrl.init(key)
+    state = jnp.asarray([jnp.pi, 0.0])
+
+    a_single, cs_single, _ = ctrl.forward(state, cstate, None, key, opt_steps=2)
+    a_shard, cs_shard = sharded_dust_forward(ctrl, state, cstate, key, 2, make_mesh())
+    np.testing.assert_allclose(
+        np.asarray(a_single), np.asarray(a_shard), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cs_single.pol_mean), np.asarray(cs_shard.pol_mean),
+        rtol=2e-3, atol=2e-4,
+    )
+
+
+def test_sharded_dust_signature_2d_pair_grid():
+    """2-D dp×sp sharding of the signature Gram inside the MPC solve."""
+    ctrl = _sig_controller()
+    key = jax.random.PRNGKey(3)
+    cstate = ctrl.init(key)
+    state = jnp.asarray([jnp.pi, 0.0])
+
+    a_single, cs_single, _ = ctrl.forward(state, cstate, None, key, opt_steps=2)
+    mesh = make_mesh([4, 2], ("dp", "sp"))
+    a_shard, cs_shard = sharded_dust_forward(
+        ctrl, state, cstate, key, 2, mesh, axis="dp", col_axis="sp"
+    )
+    np.testing.assert_allclose(
+        np.asarray(a_single), np.asarray(a_shard), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cs_single.pol_mean), np.asarray(cs_shard.pol_mean),
+        rtol=2e-3, atol=2e-4,
+    )
+
+
+def test_sharded_dust_mc_and_params_matches_single_device():
+    """Monte-Carlo likelihood path (action samples) + sampled dynamics
+    parameters: the sharded solve replicates the single-device PRNG stream
+    (full eps drawn per shard, rows sliced) so results match exactly."""
+    from sigsvgd_tpu.utils import distributions as du
+
+    ctrl = _sig_controller(n_action_samples=3, n_params_samples=2)
+    key = jax.random.PRNGKey(4)
+    cstate = ctrl.init(key)
+    state = jnp.asarray([jnp.pi, 0.0])
+    params_dist = du.Gaussian(
+        mean=jnp.asarray([9.8]), cov=jnp.asarray([0.25])
+    )
+
+    a_single, cs_single, _ = ctrl.forward(
+        state, cstate, params_dist, key, opt_steps=2
+    )
+    a_shard, cs_shard = sharded_dust_forward(
+        ctrl, state, cstate, key, 2, make_mesh(), params_dist=params_dist
+    )
+    np.testing.assert_allclose(
+        np.asarray(a_single), np.asarray(a_shard), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cs_single.pol_mean), np.asarray(cs_shard.pol_mean),
+        rtol=2e-3, atol=2e-4,
+    )

@@ -168,3 +168,78 @@ def test_custom_vjp_large_grid_reconstruction_accuracy(rng):
             np.asarray(d_prod) / scale, np.asarray(d_scan) / scale,
             atol=5e-4,
         )
+
+
+def test_chunked_pairs_gram_matches_dense(rng):
+    """The streamed huge-pair path must agree with the dense pipeline
+    (values AND gradients) — exercised by forcing the dense limit down."""
+    import dataclasses
+
+    from sigsvgd_tpu.kernels.sigkernel import SignatureKernel
+
+    paths = jnp.asarray(rng.standard_normal((6, 5, 2)).astype(np.float32))
+    dense = SignatureKernel(dyadic_order=2, bandwidth=1.5)
+    small = dataclasses.replace(dense)
+    object.__setattr__(small, "_DENSE_LIMIT", 1)  # force chunked path
+
+    k_d, vjp_d = jax.vjp(lambda x: dense.gram(x, jax.lax.stop_gradient(paths)), paths)
+    k_c, vjp_c = jax.vjp(lambda x: small._gram_chunked_pairs(x, jax.lax.stop_gradient(paths)), paths)
+    np.testing.assert_allclose(np.asarray(k_c), np.asarray(k_d), rtol=1e-5, atol=1e-6)
+    g = jnp.asarray(rng.standard_normal((6, 6)).astype(np.float32))
+    (d_d,) = vjp_d(g)
+    (d_c,) = vjp_c(g)
+    np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_d), rtol=1e-4, atol=1e-5)
+
+
+def test_mxu_block_propagator_matches_wavefront(rng):
+    """solve_goursat_pde_mxu vs the wavefront solver: values and AD grads.
+
+    Covers m = 2^λ (λ=4, 5, 6) and the sub-block case (block_m < 2^λ), at
+    increment magnitudes up to the RBF static kernel's worst case (|inc| ≤ 2).
+    """
+    from sigsvgd_tpu.kernels.sigkernel import (
+        solve_goursat_pde_mxu,
+        solve_goursat_pde_scan,
+    )
+
+    for lam, scale, block_m in ((4, 0.5, None), (5, 2.0, None), (6, 1.0, 16)):
+        inc = jnp.asarray(
+            np.clip(rng.standard_normal((3, 3, 4)) * scale, -2, 2).astype(np.float32)
+        )
+        g = jnp.asarray(rng.standard_normal(3).astype(np.float32))
+        k_ref, vjp_ref = jax.vjp(lambda z: solve_goursat_pde_scan(z, lam), inc)
+        k_mxu, vjp_mxu = jax.vjp(
+            lambda z: solve_goursat_pde_mxu(z, lam, degree=10, block_m=block_m), inc
+        )
+        # tolerance is set by the WAVEFRONT's fp32 rounding: measured vs fp64,
+        # the MXU propagator sits at ~1e-7 relative while the 2G-step fp32
+        # wavefront accumulates ~2e-4 — the looser side is the reference here
+        np.testing.assert_allclose(
+            np.asarray(k_mxu), np.asarray(k_ref), rtol=1e-3, atol=1e-4
+        )
+        (d_ref,) = vjp_ref(g)
+        (d_mxu,) = vjp_mxu(g)
+        scale_g = np.abs(np.asarray(d_ref)).max()
+        np.testing.assert_allclose(
+            np.asarray(d_mxu) / scale_g, np.asarray(d_ref) / scale_g, atol=2e-3
+        )
+
+
+def test_signature_kernel_auto_solver_consistency(rng):
+    """SignatureKernel with solver=auto (MXU at dyadic 6) must agree with the
+    explicit wavefront solver end-to-end (gram_and_grad)."""
+    import dataclasses
+
+    paths = jnp.asarray(rng.standard_normal((4, 5, 2)).astype(np.float32) * 0.5)
+    auto = SignatureKernel(dyadic_order=6, bandwidth=1.5)  # auto → MXU
+    wave = dataclasses.replace(auto, solver="wavefront")
+    k_a, dk_a = auto.gram_and_grad(paths)
+    k_w, dk_w = wave.gram_and_grad(paths)
+    # at dyadic 6 the wavefront runs 512 sequential fp32 steps and its
+    # rounding (the looser side — see the fp64 comparison in the MXU test)
+    # reaches ~3e-3 relative
+    np.testing.assert_allclose(np.asarray(k_a), np.asarray(k_w), rtol=5e-3, atol=1e-3)
+    scale_g = np.abs(np.asarray(dk_w)).max()
+    np.testing.assert_allclose(
+        np.asarray(dk_a) / scale_g, np.asarray(dk_w) / scale_g, atol=5e-3
+    )
