@@ -165,12 +165,34 @@ class DISCO:
 
     # -- act ---------------------------------------------------------------
     def act(
-        self, ctrl: DISCOState, steps: int = 1
+        self,
+        ctrl: DISCOState,
+        steps: int = 1,
+        strategy: str = "average",
+        data: Optional[DISCOData] = None,
+        ext_actions: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, DISCOState]:
-        """Clip the plan, emit the next ``steps`` actions, roll and zero-fill
-        (parity: ``disco.py:379-400``)."""
+        """Clip the plan, emit the next ``steps`` actions, roll and zero-fill.
+
+        Strategies (parity: ``DISCO.step``, ``disco.py:379-400``):
+          * ``average`` — the softmax-blended plan from :meth:`forward`
+            (the reference's ``a_mat.T @ a_mix`` collapsed to one policy);
+          * ``argmax`` — the best single sampled action sequence of the last
+            solve (requires ``data``; the reference's ``a_mat[argmax]``);
+          * ``external`` — act from ``ext_actions`` verbatim.
+        """
+        if strategy == "average":
+            a_seq = ctrl.a_seq
+        elif strategy == "argmax":
+            assert data is not None, "argmax strategy needs the solve's data"
+            a_seq = data.actions[jnp.argmax(data.omega)]
+        elif strategy == "external":
+            assert ext_actions is not None
+            a_seq = ext_actions
+        else:
+            raise ValueError(f"Invalid strategy: {strategy}")
         space = self.model.action_space
-        a_seq = space.clip(ctrl.a_seq)
+        a_seq = space.clip(a_seq)
         next_actions = a_seq[:steps]
         rolled = jnp.roll(a_seq, -steps, axis=0).at[-steps:].set(0.0)
         return next_actions, DISCOState(a_seq=rolled)

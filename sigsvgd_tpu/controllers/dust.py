@@ -73,6 +73,10 @@ class DuSt:
     stein_sampler: str = "SVGD"  # SVGD | ScaledSVGD | MatrixSVGD
     optimizer: Optional[optax.GradientTransformation] = None
     lr: float = 0.1
+    # shift optimizer state with the receding horizon (adam moments / L-BFGS
+    # curvature memories roll along H, last step zero-filled) — the
+    # reference's LBFGS state roll, dust.py:388-412
+    roll_opt_state: bool = False
     fused_velocity: bool = False  # Pallas fused SVGD update (policy RBF mode)
     n_prim: int = 0  # leading policies that are frozen action primitives
     init_uniform_range: float = 10.0
@@ -349,10 +353,22 @@ class DuSt:
         else:
             params_mat = None
 
+        # line-search optimizers (inference.svgd.lbfgs) probe a scalar
+        # objective along the L-BFGS direction; the rollout cost total plays
+        # the reference's closure-loss role (LBFGS.py Armijo/Wolfe search)
+        value_fn = None
+        if isinstance(sampler.optimizer, optax.GradientTransformationExtraArgs):
+
+            def value_fn(pm):  # noqa: F811
+                c, _ = self._rollout_costs(state, pm, params_mat)
+                return jnp.sum(c) / self.temperature
+
         def body(carry, step_key):
             pol, svgd_state = carry
             score, trajs = self._score(pol, state, prior, params_mat, step_key)
-            new_pol, new_state = sampler.step_update(pol, svgd_state, score)
+            new_pol, new_state = sampler.step_update(
+                pol, svgd_state, score, value_fn=value_fn
+            )
             return (new_pol, new_state), (score.aux["costs"], score.loss, new_pol, trajs)
 
         # opt_steps step keys + a distinct roll key (re-splitting the same key
@@ -377,6 +393,15 @@ class DuSt:
 
         # -- housekeeping: roll, prior update (dust.py:428-444,414-426) ---
         rolled = self._roll(pol_final, prior, key_roll)
+        if self.roll_opt_state:
+            from ..inference.svgd import roll_opt_state as _roll_state
+
+            svgd_state = SVGDState(
+                opt_state=_roll_state(
+                    svgd_state.opt_state, (self.n_total, self.hz_len, self.dim_a)
+                ),
+                step=svgd_state.step,
+            )
         new_weights = (
             pol_weights if self.weighted_prior else jnp.ones_like(pol_weights)
         )

@@ -14,7 +14,8 @@ import argparse
 import dataclasses
 import json
 import time
-from typing import Any, Dict
+from pathlib import Path
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,11 @@ class MazeConfig:
     dyn_prior_std: float = 0.1
     dt: float = 0.015
     warm_up: int = 0
+    # periodic checkpoint/resume (utils.checkpoint): save the full MPC state
+    # every N steps; an episode restarted with the same checkpoint_dir
+    # resumes from the newest checkpoint
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0
 
 
 def make_model(cfg: MazeConfig) -> ParticleModel:
@@ -196,8 +202,57 @@ def run_episode(
     # precompute step keys: host-side key splitting inside the loop costs a
     # device round-trip per step
     step_keys = jax.random.split(key, cfg.steps)
+
+    # -- checkpoint/resume (reference analog: save_progress + idempotent
+    # output dirs; here the full controller/filter state round-trips) -------
+    start_step = 0
+    if cfg.checkpoint_dir:
+        from ..utils import checkpoint as ckpt
+
+        latest = ckpt.latest_checkpoint(cfg.checkpoint_dir)
+        if latest is not None:
+            template = {
+                "state": state,
+                "cstate": cstate,
+                "mpf_state": mpf_state if mpf else jnp.zeros(()),
+            }
+            restored = ckpt.restore_checkpoint(latest, template)
+            state = restored["state"]
+            cstate = restored["cstate"]
+            if mpf:
+                mpf_state = restored["mpf_state"]
+            start_step = int(latest.name.split("_")[1])
+            hist = np.load(Path(latest) / "history.npz", allow_pickle=True)
+            states = list(hist["states"])
+            actions = list(hist["actions"])
+            costs = list(hist["costs"])
+            if hist["dyn_particles"].size:
+                dyn_particles = list(hist["dyn_particles"])
+
+    def _save_ckpt(step):
+        from ..utils import checkpoint as ckpt
+
+        path = Path(cfg.checkpoint_dir) / f"step_{step}"
+        ckpt.save_checkpoint(
+            path,
+            {
+                "state": state,
+                "cstate": cstate,
+                "mpf_state": mpf_state if mpf else jnp.zeros(()),
+            },
+        )
+        np.savez(
+            Path(path) / "history.npz",
+            states=np.stack(states),
+            actions=np.stack(actions) if actions else np.zeros((0, 2)),
+            costs=np.asarray(costs),
+            dyn_particles=(
+                np.stack(dyn_particles) if dyn_particles else np.zeros(0)
+            ),
+        )
+
     t0 = time.perf_counter()
-    for step in range(cfg.steps):
+    for step in range(start_step, cfg.steps):
         sub = step_keys[step]
         params_dist = (
             du.ParticleGMM(
@@ -233,6 +288,12 @@ def run_episode(
             if verbose:
                 print(f"Reached goal at step {step}")
             break
+        if (
+            cfg.checkpoint_dir
+            and cfg.checkpoint_every
+            and (step + 1) % cfg.checkpoint_every == 0
+        ):
+            _save_ckpt(step + 1)
     wall = time.perf_counter() - t0
 
     return {

@@ -141,6 +141,7 @@ class PlannerConfig:
     batch: int = 20
     length: int = 5  # total knots incl. endpoints
     lr: float = 1e-3
+    optimizer: str = "raw"  # raw (lr update) | lbfgs (zoom line search)
     pathsig_bw: float = 1.5
     svgd_bw: float = 1.5
     depth: int = 6  # dyadic order of the PDE sig-kernel
@@ -153,9 +154,15 @@ def run_optimisation(
     key: jax.Array,
     x0: Optional[jax.Array] = None,
     host_loop: Optional[bool] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 100,
 ):
     """SVGD trajectory optimization (parity: ``run_optimisation``,
     ``script_planning_robot.py:359-479``). Returns ``(final knots, RunData)``.
+
+    With ``checkpoint_dir``, the particle/optimizer state is saved every
+    ``checkpoint_every`` iterations (host-loop mode) and a restarted call
+    resumes from the newest checkpoint.
     """
     lower, upper = problem.robot.joint_limits()
     n_free = config.length - 2
@@ -182,8 +189,19 @@ def run_optimisation(
         )
         score = pathsig_score(problem.batch_cost, kernel)
 
+    value_fn = None
+    if config.optimizer == "lbfgs":
+        from ..inference.svgd import lbfgs
+
+        optimizer = lbfgs()
+
+        def value_fn(x):
+            return jnp.sum(problem.batch_cost(x)[0])
+
+    else:
+        optimizer = None
     svgd = SVGD(
-        optimizer=None,
+        optimizer=optimizer,
         lr=config.lr,
         log_prior=log_prior,
         repulsion_schedule=schedule,
@@ -205,8 +223,47 @@ def run_optimisation(
         )
         return x_final, (data1, data2)
 
-    runner = svgd.run_host_loop if host_loop else svgd.run
-    x_final, _, data = runner(x0, score, config.n_iter, key=key)
+    if checkpoint_dir is not None:
+        from ..utils import checkpoint as ckpt
+
+        start_iter = 0
+        state = svgd.init(x0)
+        x = x0
+        latest = ckpt.latest_checkpoint(checkpoint_dir)
+        if latest is not None:
+            restored = ckpt.restore_checkpoint(
+                latest, {"x": x, "opt_state": state.opt_state, "step": state.step}
+            )
+            x = restored["x"]
+            state = type(state)(
+                opt_state=restored["opt_state"], step=restored["step"]
+            )
+            start_iter = int(latest.name.split("_")[1])
+        losses = []
+        from pathlib import Path as _Path
+
+        remaining = config.n_iter - start_iter
+        while remaining > 0:
+            seg = min(checkpoint_every, remaining)
+            x, state, data = svgd.run_host_loop(x, score, seg, key=key, state=state)
+            losses.append(data.loss)
+            start_iter += seg
+            remaining -= seg
+            ckpt.save_checkpoint(
+                _Path(checkpoint_dir) / f"step_{start_iter}",
+                {"x": x, "opt_state": state.opt_state, "step": state.step},
+            )
+        from ..inference.svgd import RunData as _RunData
+
+        return x, _RunData(
+            trace=jnp.stack([x0, x]), loss=jnp.concatenate(losses), aux=None
+        )
+    if host_loop:
+        x_final, _, data = svgd.run_host_loop(x0, score, config.n_iter, key=key)
+    else:
+        x_final, _, data = svgd.run(
+            x0, score, config.n_iter, key=key, value_fn=value_fn
+        )
     return x_final, data
 
 

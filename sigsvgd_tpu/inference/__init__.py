@@ -8,5 +8,7 @@ from .svgd import (  # noqa: F401
     ScoreResult,
     SVGD,
     SVGDState,
+    lbfgs,
     matrix_svgd,
+    roll_opt_state,
 )

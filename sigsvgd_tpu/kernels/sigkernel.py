@@ -458,7 +458,11 @@ def _propagator_polys(m: int, degree: int):
 
 
 def solve_goursat_pde_mxu(
-    inc: jax.Array, dyadic_order: int, degree: int = 10, block_m: Optional[int] = None
+    inc: jax.Array,
+    dyadic_order: int,
+    degree: int = 10,
+    block_m: Optional[int] = None,
+    precision: str = "highest",
 ) -> jax.Array:
     """Block-propagator PDE solve: values match :func:`solve_goursat_pde_scan`
     to the polynomial-truncation tolerance (tested); differentiable by plain
@@ -474,6 +478,11 @@ def solve_goursat_pde_mxu(
 
     z = inc / float(4**lam)
     degs = jnp.arange(degree + 1, dtype=inc.dtype)
+    prec = {
+        "highest": lax.Precision.HIGHEST,
+        "high": lax.Precision.HIGH,
+        "default": lax.Precision.DEFAULT,
+    }[precision]
 
     @jax.checkpoint
     def prop(inp, zcell):
@@ -482,7 +491,7 @@ def solve_goursat_pde_mxu(
         # AD accumulators and OOMs at 10⁶ pairs); one shared-lhs matmul
         # against all degree slices, then the degree contraction
         zp = zcell[:, None] ** degs[None, :]  # [B, D+1]
-        tmp = jnp.einsum("be,kfe->bkf", inp, Md, precision=lax.Precision.HIGHEST)
+        tmp = jnp.einsum("be,kfe->bkf", inp, Md, precision=prec)
         return jnp.einsum("bkf,bk->bf", tmp, zp, precision=lax.Precision.HIGHEST)
 
     rows = [jnp.ones((b, m + 1), inc.dtype) for _ in range(nbx)]
@@ -533,6 +542,10 @@ class SignatureKernel:
     # block edges are MXU-sized) and the wavefront otherwise
     solver: str = "auto"  # auto | wavefront | mxu
     mxu_degree: int = 10
+    # MXU pass count for the fp32 block matmuls: "highest" (6-pass, fp64-like
+    # 1e-7 error vs the oracle), "high" (3-pass, ~1e-6) or "default"
+    # (1-pass bf16, ~1e-3 — SVGD-grade only). Tests pin "highest".
+    mxu_precision: str = "highest"
 
     def _solve(self, inc: jax.Array, chunk: int) -> jax.Array:
         lx1, ly1 = inc.shape[-2], inc.shape[-1]
@@ -540,7 +553,10 @@ class SignatureKernel:
             self.solver == "auto" and _mxu_eligible(lx1, ly1, self.dyadic_order)
         )
         if use_mxu:
-            return solve_goursat_pde_mxu(inc, self.dyadic_order, self.mxu_degree)
+            return solve_goursat_pde_mxu(
+                inc, self.dyadic_order, self.mxu_degree,
+                precision=self.mxu_precision,
+            )
         return solve_goursat_pde(inc, self.dyadic_order, chunk)
 
     # above this many floats for the [n, m, L, L'] static-Gram tensor, the

@@ -3,8 +3,13 @@
 Counterpart of the reference's ad-hoc persistence (torch.save data_dicts,
 PL ``.ckpt`` files, dill sessions — SURVEY.md §5.4): any pytree (controller
 state, SVGD/optimizer state, particles, MLP params) round-trips through an
-orbax ``PyTreeCheckpointer``; experiment loops call ``save_checkpoint`` every
-N steps and ``restore_checkpoint`` on startup for elastic resume.
+orbax ``PyTreeCheckpointer``. Wired into the experiment loops: the maze MPC
+episode saves its full controller/filter state every
+``MazeConfig.checkpoint_every`` steps and resumes from the newest checkpoint
+on restart (``experiments/maze.py::run_episode``; resume equivalence is
+asserted in ``tests/test_experiments.py::test_maze_checkpoint_resume``), and
+``experiments/planning.py::run_optimisation(checkpoint_dir=...)`` does the
+same per-N-iterations for arm trajectory optimization.
 """
 from __future__ import annotations
 

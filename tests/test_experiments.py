@@ -97,3 +97,32 @@ def test_compile_results_aggregation(tmp_path):
     )
     mrows = compile_maze_results(tmp_path / "maze")
     assert mrows[0]["goal_rate"] == 1.0
+
+
+def test_maze_checkpoint_resume(tmp_path):
+    """An interrupted maze episode resumes from its newest checkpoint and
+    reproduces the uninterrupted run (VERDICT r1 item 8)."""
+    import numpy as np
+
+    from sigsvgd_tpu.experiments.maze import MazeConfig, run_episode
+
+    full = run_episode(MazeConfig(kernel="rbf", steps=6), seed=7)
+
+    ckdir = tmp_path / "ck"
+    # "interrupted" run: checkpoint every 2 steps, stop after 4
+    partial = run_episode(
+        MazeConfig(kernel="rbf", steps=4, checkpoint_dir=str(ckdir),
+                   checkpoint_every=2),
+        seed=7,
+    )
+    assert (ckdir / "step_4").exists()
+    # resumed run continues from step 4 to 6
+    resumed = run_episode(
+        MazeConfig(kernel="rbf", steps=6, checkpoint_dir=str(ckdir),
+                   checkpoint_every=2),
+        seed=7,
+    )
+    assert resumed["trajectory"].shape == full["trajectory"].shape
+    np.testing.assert_allclose(
+        resumed["trajectory"], full["trajectory"], rtol=1e-4, atol=1e-5
+    )

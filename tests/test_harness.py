@@ -213,3 +213,71 @@ def test_ridgeline_and_multiarm_plots(tmp_path):
     arms = np.random.default_rng(1).normal(size=(3, 9, 3))
     plot_arm_trajectories(arms, path=tmp_path / "arms.png")
     assert (tmp_path / "ridge.png").exists() and (tmp_path / "arms.png").exists()
+
+
+def test_lbfgs_linesearch_svgd():
+    """L-BFGS + zoom strong-Wolfe line search (the vendored LBFGS.py
+    replacement) drives SVGD on a quadratic target via value_fn probes."""
+    import jax
+    import jax.numpy as jnp
+
+    from sigsvgd_tpu.inference import SVGD, ScoreResult, lbfgs
+    from sigsvgd_tpu.kernels import GaussianKernel
+
+    target = jnp.asarray([2.0, -1.0])
+
+    def neg_logp(x):
+        return 0.5 * jnp.sum((x - target) ** 2)
+
+    def score(x, key):
+        return ScoreResult(grad_log_p=-(x - target))
+
+    svgd = SVGD(kernel=GaussianKernel(), optimizer=lbfgs())
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (16, 2)) * 3.0
+    xf, _, _ = svgd.run(x0, score, 40, value_fn=neg_logp)
+    mean = jnp.mean(xf, axis=0)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(target), atol=0.35)
+
+
+def test_dust_lbfgs_and_opt_state_roll():
+    """DuSt with the line-search L-BFGS optimizer + horizon-shift optimizer
+    state rolling (reference dust.py:388-412): after a forward, every
+    policy-aligned optimizer leaf has been rolled one step with a zeroed
+    tail."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from sigsvgd_tpu.controllers import DuSt
+    from sigsvgd_tpu.inference import lbfgs
+    from sigsvgd_tpu.models import PendulumModel
+
+    model = PendulumModel(dt=0.05)
+    ctrl = DuSt(
+        model=model,
+        hz_len=6,
+        n_pol=4,
+        kernel_mode="policy",
+        optimizer=lbfgs(memory_size=4),
+        roll_opt_state=True,
+        inst_cost_fn=model.swingup_inst_cost,
+        term_cost_fn=model.swingup_term_cost,
+    )
+    key = jax.random.PRNGKey(0)
+    cstate = ctrl.init(key)
+    state = jnp.asarray([jnp.pi, 0.0])
+    a_seq, new_cstate, _ = ctrl.forward(state, cstate, None, key, opt_steps=2)
+    assert np.isfinite(np.asarray(a_seq)).all()
+    assert np.isfinite(np.asarray(new_cstate.pol_mean)).all()
+
+    # every policy-aligned optimizer leaf must end in a zeroed horizon slot
+    pol_shape = (ctrl.n_total, ctrl.hz_len, ctrl.dim_a)
+    leaves = jax.tree_util.tree_leaves(new_cstate.svgd_state.opt_state)
+    aligned = [
+        lf for lf in leaves
+        if getattr(lf, "ndim", 0) >= 3 and tuple(lf.shape[-3:]) == pol_shape
+    ]
+    assert aligned, "expected policy-aligned optimizer state leaves"
+    for lf in aligned:
+        np.testing.assert_allclose(np.asarray(lf[..., -1, :]), 0.0)

@@ -120,3 +120,40 @@ def test_mlp_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(model(xt)), np.asarray(model2(xt)), atol=1e-6
     )
+
+
+def test_planning_with_lbfgs_linesearch(problem):
+    """The planning pipeline runs with the L-BFGS + zoom line-search
+    optimizer (VERDICT r1 item 6)."""
+    import jax
+
+    from sigsvgd_tpu.experiments.planning import PlannerConfig, run_optimisation
+
+    cfg = PlannerConfig(
+        method="svgd", n_iter=15, batch=6, optimizer="lbfgs", depth=2,
+        timesteps=50,
+    )
+    x_final, data = run_optimisation(problem, cfg, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(x_final)).all()
+
+
+def test_planning_checkpoint_resume(problem, tmp_path):
+    """run_optimisation resumes from its newest checkpoint."""
+    import jax
+
+    from sigsvgd_tpu.experiments.planning import PlannerConfig, run_optimisation
+
+    cfg = PlannerConfig(method="sgd", n_iter=8, batch=4, timesteps=40)
+    key = jax.random.PRNGKey(3)
+    x_full, _ = run_optimisation(problem, cfg, key)
+
+    ck = tmp_path / "plan_ck"
+    cfg4 = PlannerConfig(method="sgd", n_iter=4, batch=4, timesteps=40)
+    run_optimisation(problem, cfg4, key, checkpoint_dir=str(ck), checkpoint_every=4)
+    assert (ck / "step_4").exists()
+    x_res, _ = run_optimisation(
+        problem, cfg, key, checkpoint_dir=str(ck), checkpoint_every=4
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_res), np.asarray(x_full), rtol=1e-4, atol=1e-5
+    )
