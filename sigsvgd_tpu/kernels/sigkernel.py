@@ -259,11 +259,13 @@ def _goursat_bwd_chunk(inc, dyadic_order, g_out):
     dzc0 = jnp.zeros_like(inc)
 
     def inner(carry, s):
-        g1, g2, ds, dsm1, dzc = carry  # ĝ at diags s+1, s+2; primal s, s-1
-        a1, _, _ = coefs_at(s + 1)
-        _, b2, _ = coefs_at(s + 2)
-        u = a1 * g1
-        v = b2 * g2
+        # ĝ at diags s+1, s+2; primal s, s-1; carried coefficient rows
+        # a_c = a_{s+1}, b_c1 = b_{s+1}, b_c2 = b_{s+2} (one coefs_at gather
+        # per step instead of three — the gathers were the backward's largest
+        # HBM term)
+        g1, g2, ds, dsm1, a_c, b_c1, b_c2, dzc = carry
+        u = a_c * g1
+        v = b_c2 * g2
         g = u + jnp.roll(u, -1, axis=1) - jnp.roll(v, -1, axis=1)
         g = g + jnp.where(s == s_last, seed, 0.0)
         ci, cj, interior = _diag_indices(s, ii, gx, gy, lam)
@@ -289,20 +291,21 @@ def _goursat_bwd_chunk(inc, dyadic_order, g_out):
         valid = s <= s_last
         keep = lambda new, old: jnp.where(valid, new, old)  # noqa: E731
         return (
-            keep(g, g1), keep(g1, g2), keep(dsm1, ds), keep(dsm2, dsm1), dzc
+            keep(g, g1), keep(g1, g2), keep(dsm1, ds), keep(dsm2, dsm1),
+            keep(a_s, a_c), keep(b_s, b_c1), keep(b_c1, b_c2), dzc
         ), None
 
     def outer(carry, inp):
-        g1, g2, dzc = carry
+        g1, g2, a_c, b_c1, b_c2, dzc = carry
         seg_steps, (ck_m2, ck_m1) = inp
         # reset the primal reconstruction at the segment's top: (d_s, d_{s-1})
         # at s = s0+SEG-1 is the (d_{s0'-2}, d_{s0'-1}) checkpoint of the next
         # segment (swapped), except the top segment which uses the final carry
         ds, dsm1 = ck_m1, ck_m2
-        (g1, g2, _, _, dzc), _ = lax.scan(
-            inner, (g1, g2, ds, dsm1, dzc), seg_steps
+        (g1, g2, _, _, a_c, b_c1, b_c2, dzc), _ = lax.scan(
+            inner, (g1, g2, ds, dsm1, a_c, b_c1, b_c2, dzc), seg_steps
         )
-        return (g1, g2, dzc), None
+        return (g1, g2, a_c, b_c1, b_c2, dzc), None
 
     # backward segment q covers s ∈ [2+q·SEG, 2+(q+1)·SEG) descending (with
     # padding masked inside); its primal top comes from checkpoint q+1
@@ -311,12 +314,11 @@ def _goursat_bwd_chunk(inc, dyadic_order, g_out):
         jnp.concatenate([starts[0][1:], fin_m2[None]], axis=0),
         jnp.concatenate([starts[1][1:], fin_m1[None]], axis=0),
     )
-    init = (
-        jnp.zeros((b, gx + 1), inc.dtype),
-        jnp.zeros((b, gx + 1), inc.dtype),
-        dzc0,
-    )
-    (_, _, dzc), _ = lax.scan(
+    zeros = jnp.zeros((b, gx + 1), inc.dtype)
+    # coefficient carries start at zero: for s ≥ s_last the a/b rows beyond
+    # the grid are zero by the coefs_at masking convention
+    init = (zeros, zeros, zeros, zeros, zeros, dzc0)
+    (_, _, _, _, _, dzc), _ = lax.scan(
         outer, init, (seg_steps, tops), reverse=True
     )
     return dzc / float(4**lam)
@@ -538,9 +540,10 @@ class SignatureKernel:
     bandwidth: Optional[float] = None
     bw_scale: float = 1.0
     static: str = "rbf"
-    # "auto" uses the MXU block-propagator for dyadic_order ≥ 4 (where the
-    # block edges are MXU-sized) and the wavefront otherwise
-    solver: str = "auto"  # auto | wavefront | mxu
+    # "auto" picks the fastest valid solver: the MXU block-propagator for
+    # dyadic_order ≥ 4 (block edges are MXU-sized), the VMEM-resident Pallas
+    # row sweep for lower orders on TPU, and the XLA wavefront elsewhere
+    solver: str = "auto"  # auto | wavefront | mxu | pallas
     mxu_degree: int = 10
     # MXU pass count for the fp32 block matmuls: "highest" (6-pass, fp64-like
     # 1e-7 error vs the oracle), "high" (3-pass, ~1e-6) or "default"
@@ -557,6 +560,14 @@ class SignatureKernel:
                 inc, self.dyadic_order, self.mxu_degree,
                 precision=self.mxu_precision,
             )
+        from .pallas_sigkernel import pallas_supported, solve_goursat_pde_pallas
+
+        use_pallas = pallas_supported(lx1, ly1, self.dyadic_order) and (
+            self.solver == "pallas"
+            or (self.solver == "auto" and jax.default_backend() == "tpu")
+        )
+        if use_pallas:
+            return solve_goursat_pde_pallas(inc, self.dyadic_order)
         return solve_goursat_pde(inc, self.dyadic_order, chunk)
 
     # above this many floats for the [n, m, L, L'] static-Gram tensor, the

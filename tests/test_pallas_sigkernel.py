@@ -1,0 +1,45 @@
+"""Pallas Goursat-PDE solver vs the XLA scan solver (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sigsvgd_tpu.kernels.pallas_sigkernel import solve_goursat_pde_pallas
+from sigsvgd_tpu.kernels.sigkernel import solve_goursat_pde_scan
+
+
+def test_pallas_forward_matches_scan(rng):
+    for (b, lx, ly, lam) in ((5, 3, 3, 3), (4, 3, 5, 3), (3, 5, 5, 3)):
+        inc = jnp.asarray(rng.standard_normal((b, lx, ly)).astype(np.float32) * 0.3)
+        want = np.asarray(solve_goursat_pde_scan(inc, lam))
+        got = np.asarray(solve_goursat_pde_pallas(inc, lam))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_pallas_vjp_matches_scan_ad(rng):
+    for (b, lx, ly, lam) in ((4, 3, 3, 3), (3, 4, 4, 3), (2, 2, 5, 3)):
+        inc = jnp.asarray(rng.standard_normal((b, lx, ly)).astype(np.float32) * 0.3)
+        g = jnp.asarray(rng.standard_normal(b).astype(np.float32))
+        k_ref, vjp_ref = jax.vjp(lambda z: solve_goursat_pde_scan(z, lam), inc)
+        k_pal, vjp_pal = jax.vjp(lambda z: solve_goursat_pde_pallas(z, lam), inc)
+        np.testing.assert_allclose(np.asarray(k_pal), np.asarray(k_ref), rtol=2e-5)
+        (d_ref,) = vjp_ref(g)
+        (d_pal,) = vjp_pal(g)
+        scale = np.abs(np.asarray(d_ref)).max()
+        np.testing.assert_allclose(
+            np.asarray(d_pal) / scale, np.asarray(d_ref) / scale, atol=5e-4
+        )
+
+
+def test_pallas_mpc_shape_smoke(rng):
+    """Flagship MPC shape (H=40 path, dyadic 3) at a small pair count."""
+    inc = jnp.asarray(rng.standard_normal((3, 40, 40)).astype(np.float32) * 0.05)
+    g = jnp.asarray(rng.standard_normal(3).astype(np.float32))
+    k_ref, vjp_ref = jax.vjp(lambda z: solve_goursat_pde_scan(z, 3), inc)
+    k_pal, vjp_pal = jax.vjp(lambda z: solve_goursat_pde_pallas(z, 3), inc)
+    np.testing.assert_allclose(np.asarray(k_pal), np.asarray(k_ref), rtol=1e-4)
+    (d_ref,) = vjp_ref(g)
+    (d_pal,) = vjp_pal(g)
+    scale = np.abs(np.asarray(d_ref)).max()
+    np.testing.assert_allclose(
+        np.asarray(d_pal) / scale, np.asarray(d_ref) / scale, atol=1e-3
+    )
