@@ -57,7 +57,7 @@ def _setup():
     from sigsvgd_tpu.utils.spaces import Box
 
     robot = PandaRobot.create()
-    scene = get_scene("shelf")
+    scene = get_scene("bookshelf_small")
     occ = sdf_occupancy(scene)
     low, high = robot.joint_limits
 

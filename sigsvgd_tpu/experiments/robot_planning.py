@@ -129,6 +129,7 @@ def run_experiment(
     out_dir: Optional[Path],
     config: PlannerConfig,
     use_learned: bool = False,
+    n_requests: int = 2,
 ) -> List[Dict]:
     robot = PandaRobot.create()
     seeds = generate_seeds(n_seeds)
@@ -138,7 +139,7 @@ def run_experiment(
         occmap = self_pred = None
         if use_learned:
             occmap, self_pred = train_scene_models(robot, tag)
-        for req_i, req in enumerate(default_requests(robot, tag, n=2)):
+        for req_i, req in enumerate(default_requests(robot, tag, n=n_requests)):
             for seed in seeds:
                 for method in methods:
                     if out_dir is not None and (
@@ -200,13 +201,16 @@ def main():
     parser.add_argument("--use-learned", action="store_true",
                         help="train + use learned occupancy/self-collision MLPs")
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--requests", type=int, default=2,
+                        help="path requests per scene (reference scale: 4)")
     args = parser.parse_args()
 
     config = PlannerConfig()
     if args.quick:
         config = PlannerConfig(n_iter=60, batch=8, depth=3, timesteps=60)
     run_experiment(
-        args.scenes, args.methods, args.seeds, args.out, config, args.use_learned
+        args.scenes, args.methods, args.seeds, args.out, config,
+        args.use_learned, n_requests=args.requests,
     )
 
 

@@ -226,6 +226,53 @@ def _window(name: str) -> Scene:
     return Scene(name, tuple(prims))
 
 
+def _bookshelf_thin(name: str) -> Scene:
+    """Tall narrow shelf with tight vertical clearances (analog of the
+    reference's ``bookshelf_thin_panda``, robot_scene.py:21)."""
+    boards = []
+    for z in (0.15, 0.38, 0.61, 0.84, 1.07, 1.3):
+        boards.append(Primitive("box", (0.55, 0.0, z), (0.26, 0.5, 0.025)))
+    boards.append(Primitive("box", (0.55, -0.25, 0.72), (0.26, 0.025, 1.17)))
+    boards.append(Primitive("box", (0.55, 0.25, 0.72), (0.26, 0.025, 1.17)))
+    boards.append(Primitive("box", (0.68, 0.0, 0.72), (0.025, 0.5, 1.17)))
+    return Scene(name, tuple(boards))
+
+
+def _box(name: str) -> Scene:
+    """Open-top box the arm must reach into (``box_panda`` analog)."""
+    walls = [
+        Primitive("box", (0.55, 0.0, 0.1), (0.4, 0.4, 0.03)),  # floor
+        Primitive("box", (0.35, 0.0, 0.3), (0.03, 0.4, 0.4)),
+        Primitive("box", (0.75, 0.0, 0.3), (0.03, 0.4, 0.4)),
+        Primitive("box", (0.55, -0.2, 0.3), (0.4, 0.03, 0.4)),
+        Primitive("box", (0.55, 0.2, 0.3), (0.4, 0.03, 0.4)),
+    ]
+    return Scene(name, tuple(walls))
+
+
+def _kitchen(name: str) -> Scene:
+    """Counter + overhead cabinet + side wall (``kitchen_panda`` analog):
+    the arm works in the gap between the counter top and the cabinet."""
+    prims = [
+        Primitive("box", (0.55, 0.0, 0.35), (0.6, 1.2, 0.04)),  # counter
+        Primitive("box", (0.6, 0.0, 1.15), (0.5, 1.2, 0.3)),    # cabinet
+        Primitive("box", (0.55, -0.55, 0.75), (0.6, 0.04, 0.85)),  # side wall
+        Primitive("box", (0.82, 0.15, 0.47), (0.08, 0.08, 0.2)),   # appliance
+        Primitive("cylinder", (0.45, 0.35, 0.45), (0.05, 0.17)),   # pot
+    ]
+    return Scene(name, tuple(prims))
+
+
+def _table_bars(name: str) -> Scene:
+    """Table with a grid of vertical bars above it (``table_bars_panda``
+    analog): motion must thread between the bars."""
+    prims = [Primitive("box", (0.55, 0.0, 0.25), (0.7, 1.0, 0.04))]
+    for y in (-0.3, 0.0, 0.3):
+        prims.append(Primitive("box", (0.55, y, 0.65), (0.04, 0.04, 0.76)))
+    prims.append(Primitive("box", (0.55, 0.0, 1.05), (0.7, 1.0, 0.04)))
+    return Scene(name, tuple(prims))
+
+
 def _pillars(name: str, n: int = 4) -> Scene:
     rng = np.random.default_rng(hash(name) % (2**31))
     prims = []
@@ -237,12 +284,18 @@ def _pillars(name: str, n: int = 4) -> Scene:
     return Scene(name, tuple(prims))
 
 
+# the first nine mirror the reference's robodata tags one-for-one
+# (robot_scene.py:19-29, "_panda" suffix dropped); the rest are extras
 SCENE_TAGS = (
     "bookshelf_small",
     "bookshelf_tall",
+    "bookshelf_thin",
+    "box",
+    "cage",
+    "kitchen",
+    "table_bars",
     "table_pick",
     "table_under_pick",
-    "cage",
     "window",
     "pillars_4",
     "pillars_6",
@@ -260,6 +313,14 @@ def get_scene(tag: str) -> Scene:
     if tag == "table_under_pick":
         s = _table_cluster(tag)
         return Scene(tag, s.primitives + (Primitive("box", (0.5, 0.0, 0.55), (0.5, 0.6, 0.03)),))
+    if tag == "bookshelf_thin":
+        return _bookshelf_thin(tag)
+    if tag == "box":
+        return _box(tag)
+    if tag == "kitchen":
+        return _kitchen(tag)
+    if tag == "table_bars":
+        return _table_bars(tag)
     if tag == "cage":
         return _cage(tag)
     if tag == "window":

@@ -161,3 +161,26 @@ def test_path_request_yaml(tmp_path):
     req.to_yaml(p)
     req2 = PathRequest.from_yaml(p)
     assert req2.start == req.start and req2.target == req.target
+
+
+def test_all_scene_tags_build_and_generate_requests():
+    """Every scene tag (incl. the four round-2 additions mirroring the
+    reference's kitchen/box/bookshelf_thin/table_bars) builds, has a finite
+    SDF, and yields collision-free start/goal requests."""
+    import jax.numpy as jnp
+
+    from sigsvgd_tpu.experiments.robot_planning import default_requests
+    from sigsvgd_tpu.models.robot import PandaRobot
+    from sigsvgd_tpu.models.robot.scene import SCENE_TAGS, get_scene, scene_sdf
+
+    robot = PandaRobot.create()
+    pts = jnp.asarray([[0.5, 0.0, 0.5], [0.0, 0.0, 1.5], [2.0, 2.0, 2.0]])
+    for tag in SCENE_TAGS:
+        scene = get_scene(tag)
+        sdf = np.asarray(scene_sdf(scene, pts))
+        if tag == "empty":
+            assert (sdf == np.inf).all()  # no obstacles → infinite clearance
+            continue
+        assert np.isfinite(sdf).all(), tag
+        reqs = default_requests(robot, tag, n=2)
+        assert len(reqs) == 2, f"{tag}: could not find free request endpoints"
