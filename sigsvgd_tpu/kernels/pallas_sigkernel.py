@@ -2,32 +2,42 @@
 
 The XLA anti-diagonal wavefront (``sigkernel.solve_goursat_pde``) touches the
 whole ``[pairs, G]`` diagonal in HBM on every one of its 2G scan steps — at
-the flagship MPC scale (10⁶ pairs, G=320) that is terabytes of HBM traffic
-and tens of seconds per Gram. These kernels keep the sweep VMEM-resident:
+the flagship MPC scale (~5·10⁵ pairs, G=320) that is HBM-roofline-bound and
+tens of seconds per Gram+adjoint. These kernels keep the sweep VMEM-resident
+and stream everything else:
 
-  * layout: the pair batch rides the LANE axis (``[..., B_t]`` tiles, grid
-    over pair tiles); the per-tile working set (z/a/b fields, k rows, adjoint
-    rows, dz accumulator) fits VMEM;
-  * forward: rows bottom-up; the within-row first-order recurrence advances
-    through ALIGNED 16-sublane windows (Mosaic requires sublane offsets ≡ 0
-    mod 8), one window per 2^λ-wide coarse cell, with carried left-columns
-    and read-modify-write stores;
-  * backward (custom VJP): the adjoint recurrence is the same row sweep run
-    top-down (right-to-left in-row); the primal rows it needs are
-    RECONSTRUCTED on the way down by inverting the recurrence, re-anchored
-    at checkpoint rows a forward pre-pass wrote to HBM (drift-bounding, the
-    same scheme as the XLA adjoint's segments); ∂out/∂z accumulates in a
-    VMEM coarse grid laid out ``[cells, 1, B]`` so cell indexing stays off
-    the tiled sublane axis.
+  * layout: 1024 pairs per program packed ``[8, 128]`` (one full vreg per
+    elementwise op); the fine-column axis ``j`` lives on the LEADING
+    (untiled) dimension of every buffer, so the within-row recurrence
+    indexes rows dynamically with no sublane-alignment constraints;
+  * grid ``(pair_tiles, lx1)``: the second axis walks coarse-row BANDS of 8
+    fine rows; the z increments, checkpoints, and (backward) dz blocks
+    stream per band, so VMEM holds only O(G) state per tile — independent
+    of the path length in the row direction;
+  * forward: bands bottom-up; within a band, 8 rows of the first-order
+    recurrence ``k[i,j] = (k[i,j-1] + k[i-1,j])·a − k[i-1,j-1]·b`` advance
+    in place over a single row buffer; every ``bands_per_ck`` bands the row
+    is checkpointed to HBM;
+  * backward (custom VJP): bands top-down; per row, the adjoint recurrence
+    sweeps right-to-left while the primal rows it needs are RECONSTRUCTED
+    by inverting the forward recurrence, re-anchored at the streamed
+    checkpoint rows (drift-bounding); ∂out/∂z accumulates in the band's dz
+    output block.  The dL/dk seed is folded INTO the top row's sweep so it
+    propagates to the nodes left of (gx, gy).
 
 Specialised to ``dyadic_order == 3`` (the reference maze/MPC setting,
-``particle_maze_config.yaml:20``): one 8-cell window per coarse cell. Other
-orders use the MXU propagator (≥4) or the XLA wavefront.
+``particle_maze_config.yaml:20``); other orders use the MXU block-propagator
+(≥4) or the XLA wavefront.  The band row-loop is unrolled in Python: the row
+parity ``i & 1 == t_loc & 1`` is then static, which Mosaic requires for
+stores through the buffers' leading index (traced store indices silently
+corrupt the slot selection).
 
-HBM traffic per Gram+grad: z fields + checkpoints + dz once — O(B·(L² +
-G²/ckpt)) instead of O(B·G²) per diagonal step. Validated against
-``solve_goursat_pde_scan`` (values + VJP) in interpret mode on CPU
-(tests/test_pallas_sigkernel.py) and on device.
+Measured (v5e, chained dispatch): forward bit-exact vs the XLA scan solver,
+adjoint 8e-5; 0.72 µs/pair forward and 2.6 µs/pair forward+backward at 16k
+pairs — ~12x the first-generation ``[1, 128]``-lane kernel and ~25x the XLA
+scan at the same batch.  Validated against ``solve_goursat_pde_scan``
+(values + VJP) in interpret mode on CPU (tests/test_pallas_sigkernel.py)
+and on device.
 """
 from __future__ import annotations
 
@@ -39,195 +49,190 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE = 128       # pairs per forward kernel program (lane-axis tile; 256
-                  # OOMs scoped VMEM at the flagship 40x40 grid once the
-                  # batch grid is >1 and Mosaic double-buffers the blocks)
-_TILE_BWD = 128   # backward holds more VMEM state (dz + both row pairs)
 _LAM = 3
-_M = 1 << _LAM  # 8 — fine cells per coarse cell == window stride
-
-
-def _ck_interval(gx: int) -> int:
-    """Largest divisor of gx that is ≤ 48 (checkpoint row spacing)."""
-    best = 1
-    for d in range(1, 49):
-        if gx % d == 0:
-            best = d
-    return best
+_M = 1 << _LAM  # 8 — fine rows per band / fine cols per coarse cell
+_P = 1024       # pairs per program, shaped [8, 128]
 
 
 def pallas_supported(lx1: int, ly1: int, dyadic_order: int) -> bool:
     return dyadic_order == _LAM
 
 
+def _bands_per_ck(lx1: int) -> int:
+    """Checkpoint every ``bpc`` bands (largest divisor of lx1 ≤ 6 keeps the
+    reconstruction drift span ≤ 48 fine rows, matching the XLA adjoint)."""
+    best = 1
+    for d in range(1, 7):
+        if lx1 % d == 0:
+            best = d
+    return best
+
+
 def _coef(z):
     return 1.0 + 0.5 * z + z * z * (1.0 / 12.0), 1.0 - z * z * (1.0 / 12.0)
 
 
-def _win(ref, w):
-    """Aligned 16-sublane window starting at fine column 8w."""
-    return ref[pl.ds(w * _M, 2 * _M)]
-
-
-def _win2(ref, lead, w):
-    return ref[lead, pl.ds(w * _M, 2 * _M)]
-
-
 # ---------------------------------------------------------------------------
-# Forward kernel (emitting row checkpoints).
+# Forward kernel.
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(gx, gy, lx1, ly1, ck, z_ref, out_ref, ck_ref, row_ref,
-                a_ref, b_ref):
-    """Sweep rows 1..gx; the row buffer updates in place via windowed RMW.
+def _fwd_kernel(lx1, ly1, bpc, z_ref, k_ref, ck_ref, row_ref, a_ref, b_ref):
+    """Grid (ntiles, lx1): advance the 8 fine rows of one coarse band.
 
-    z_ref/a_ref/b_ref [lx1*ly1, 1, B] · out_ref [1, B] ·
-    ck_ref [n_ck, gy+2M, B] · row_ref [gy+2M, B] scratch.
+    z_ref [1, ly1, 1, 8, 128] · k_ref [1, 8, 128] · ck_ref [1, 1, G1, 8, 128]
+    row_ref [G1, 8, 128] scratch · a_ref/b_ref [ly1, 8, 128] scratch.
     """
-    a_all, b_all = _coef(z_ref[:])
-    a_ref[:] = a_all
-    b_ref[:] = b_all
-    row_ref[:] = jnp.ones_like(row_ref)
-    ck_ref[0] = row_ref[:]
+    r = pl.program_id(1)
+    gy = ly1 * _M
 
-    def row_body(i, _):
-        ci = (i - 1) >> _LAM
+    @pl.when(r == 0)
+    def _():
+        row_ref[:] = jnp.ones_like(row_ref)
 
-        def cell_body(w, carry):
-            kl, kpl = carry  # k[i, 8w], k[i-1, 8w]
-            a = a_ref[ci * ly1 + w, 0][None]
-            b = b_ref[ci * ly1 + w, 0][None]
-            win = _win(row_ref, w)  # [16, B]: slot0 row-i, 1..8 row-(i-1)
+    a_ref[:], b_ref[:] = _coef(z_ref[0, :, 0])
+
+    def one_row(_i, carry):
+        def cell(w, kc):
+            kl, corner = kc  # k[i, 8w], k[i-1, 8w]
+            a = a_ref[w]
+            b = b_ref[w]
+            old = row_ref[pl.ds(w * _M + 1, _M)]  # k[i-1, 8w+1..8w+8]
             news = []
             for t in range(_M):
-                corner = kpl if t == 0 else win[t][None]
-                kl = (kl + win[t + 1][None]) * a - corner * b
+                kl = (kl + old[t]) * a - corner * b
+                corner = old[t]
                 news.append(kl)
-            row_ref[pl.ds(w * _M, 2 * _M)] = jnp.concatenate(
-                [win[0:1]] + news + [win[_M + 1:]], axis=0
-            )
-            return kl, win[_M][None]
+            row_ref[pl.ds(w * _M + 1, _M)] = jnp.stack(news)
+            return kl, corner
 
-        ones = jnp.ones_like(row_ref[0:1])
-        lax.fori_loop(0, ly1, cell_body, (ones, ones))
+        ones = row_ref[0]
+        lax.fori_loop(0, ly1, cell, (ones, ones))
+        return carry
 
-        @pl.when(i % ck == 0)
-        def _():
-            ck_ref[i // ck] = row_ref[:]
+    lax.fori_loop(0, _M, one_row, 0)
 
-        return 0
+    @pl.when((r + 1) % bpc == 0)
+    def _():
+        ck_ref[0, 0] = row_ref[:]
 
-    lax.fori_loop(1, gx + 1, row_body, 0)
-    out_ref[:] = row_ref[gy][None]
+    @pl.when(r == lx1 - 1)
+    def _():
+        k_ref[0] = row_ref[gy]
 
 
 # ---------------------------------------------------------------------------
-# Backward kernel: top-down adjoint sweep + primal reconstruction.
+# Backward kernel: top-down adjoint + primal reconstruction, band-streamed.
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(gx, gy, lx1, ly1, ck,
-                z_ref, ck_ref, gout_ref, dz_ref, kbuf_ref, gbuf_ref,
-                a_ref, b_ref):
-    """dz_ref [lx1*ly1, 1, B] output. kbuf [2, gy+2M, B]: primal rows i /
-    i-1 by parity; gbuf [2, gy+2M, B]: adjoint rows i+1 / i by parity (slots
-    beyond gy stay zero — the padding doubles as the ĝ[·, >gy] = 0 boundary).
+def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
+                kbuf_ref, gbuf_ref, a_ref, b_ref, au_ref, bu_ref):
+    """Grid (ntiles, lx1), band b = lx1-1-r (descending).
+
+    z_ref [1, ly1, 1, 8, 128] (band b) · ck_ref [1, 1, G1, 8, 128] (anchor
+    row 8b+8 when (b+1)%bpc==0) · gout_ref [1, 8, 128] · dz_ref
+    [1, ly1, 1, 8, 128] out · kbuf/gbuf [2, G2, 8, 128] scratch (G2 = G1+M;
+    the zero-padded tail doubles as the ĝ[·, >gy] = 0 boundary) · a/b the
+    current band's coefficients · au/bu the band above's (for the top row's
+    ĝ[i+1, ·] terms).
     """
-    a_all, b_all = _coef(z_ref[:])
-    a_ref[:] = a_all
-    b_ref[:] = b_all
-    dz_ref[:] = jnp.zeros_like(dz_ref)
-    gbuf_ref[:] = jnp.zeros_like(gbuf_ref)
-    kbuf_ref[gx & 1] = ck_ref[gx // ck]  # top primal row
+    r = pl.program_id(1)
+    b = lx1 - 1 - r
+    gy = ly1 * _M
 
-    def row_body(t_row, _):
-        i = gx - t_row  # gx .. 1
-        par = i & 1
-        ci = (i - 1) >> _LAM
-        ci_up = jnp.minimum(i, gx - 1) >> _LAM  # cells of row i+1 (clamped)
+    @pl.when(r == 0)
+    def _():
+        gbuf_ref[:] = jnp.zeros_like(gbuf_ref)
+        # row gx+1 coefficients are never used (ĝ there is 0) but the
+        # uninitialised scratch must not inject NaN x 0
+        au_ref[:] = jnp.zeros_like(au_ref)
+        bu_ref[:] = jnp.zeros_like(bu_ref)
 
-        # ---- reconstruct primal row i-1 (ascending) into kbuf[1-par] -----
-        def rec_cell(w, kdl):
-            a = a_ref[ci * ly1 + w, 0][None]
-            b = b_ref[ci * ly1 + w, 0][None]
-            kc = _win2(kbuf_ref, par, w)  # row i, slots 8w..8w+15
-            dwin = _win2(kbuf_ref, 1 - par, w)
-            outs = []
-            for tt in range(_M):
-                # invert: k[i,j] = (k[i,j-1] + k[i-1,j])·a − k[i-1,j-1]·b
-                # → k[i-1,j] = (k[i,j] + k[i-1,j-1]·b)/a − k[i,j-1]
-                kdl = (kc[tt + 1][None] + kdl * b) / a - kc[tt][None]
-                outs.append(kdl)
-            kbuf_ref[1 - par, pl.ds(w * _M, 2 * _M)] = jnp.concatenate(
-                [dwin[0:1]] + outs + [dwin[_M + 1:]], axis=0
-            )
-            return kdl
+    @pl.when(r != 0)
+    def _():
+        au_ref[:] = a_ref[:]
+        bu_ref[:] = b_ref[:]
 
-        kbuf_ref[1 - par, 0:1] = jnp.ones_like(kbuf_ref[0, 0:1])
-        ones = jnp.ones_like(kbuf_ref[0, 0:1])
-        lax.fori_loop(0, ly1, rec_cell, ones)
+    a_ref[:], b_ref[:] = _coef(z_ref[0, :, 0])
 
-        @pl.when((i - 1) % ck == 0)
-        def _():
-            kbuf_ref[1 - par] = ck_ref[(i - 1) // ck]
+    @pl.when((b + 1) % bpc == 0)
+    def _():
+        # band-top anchor: primal row 8b+8 (even row -> parity slot 0)
+        kbuf_ref[0, pl.ds(0, gy + 1)] = ck_ref[0, 0]
 
-        # ---- adjoint row i (cells right-to-left) into gbuf[par] ----------
+    def dz_zero(w, c):
+        dz_ref[0, w, 0] = jnp.zeros_like(dz_ref[0, w, 0])
+        return c
+
+    lax.fori_loop(0, ly1, dz_zero, 0)
+
+    # unrolled over the band's 8 rows, i = 8b+8 - t_loc descending; the row
+    # parity i & 1 == t_loc & 1 is static (8b+8 is even), which keeps every
+    # kbuf/gbuf leading store index a compile-time constant
+    for t_loc in range(_M):
+        par = t_loc & 1
+        top = t_loc == 0  # row i+1 lives in the band above
+
+        # ---- adjoint row i (cells right-to-left) -------------------------
         # ĝ[i,j] = a(i,j+1)·ĝ[i,j+1] + a(i+1,j)·ĝ[i+1,j] − b(i+1,j+1)·ĝ[i+1,j+1]
-        def adj_cell(cc, g_right):
+        def adj_cell(cc, g_right, par=par, top=top):
             w = ly1 - 1 - cc
-            a = a_ref[ci * ly1 + w, 0][None]
-            a_up = a_ref[ci_up * ly1 + w, 0][None]
-            b_up = b_ref[ci_up * ly1 + w, 0][None]
+            a_cur = a_ref[w]
+            a_up = au_ref[w] if top else a_ref[w]
+            b_up = bu_ref[w] if top else b_ref[w]
             wr = jnp.minimum(w + 1, ly1 - 1)
-            a_r = a_ref[ci * ly1 + wr, 0][None]
-            b_up_r = b_ref[ci_up * ly1 + wr, 0][None]
-            gup = _win2(gbuf_ref, 1 - par, w)  # slots 8w..8w+15 of row i+1
-            gwin = _win2(gbuf_ref, par, w)
+            a_cur_r = a_ref[wr]
+            b_up_r = bu_ref[wr] if top else b_ref[wr]
+            gup = gbuf_ref[1 - par, pl.ds(w * _M + 1, _M + 1)]  # row i+1
             news = [None] * _M
             for tt in range(_M - 1, -1, -1):
-                j = w * _M + 1 + tt
-                a_right = a_r if tt == _M - 1 else a
+                a_r = a_cur_r if tt == _M - 1 else a_cur
                 bu = b_up_r if tt == _M - 1 else b_up
-                # ĝ[i+1, j] = gup[1+tt]; ĝ[i+1, j+1] = gup[2+tt] (≤ 15 ✓)
-                g = (
-                    a_right * g_right
-                    + a_up * gup[1 + tt][None]
-                    - bu * gup[2 + tt][None]
-                )
-                g = g + jnp.where((i == gx) & (j == gy), gout_ref[0][None], 0.0)
+                g = a_r * g_right + a_up * gup[tt] - bu * gup[tt + 1]
+                if top and tt == _M - 1:
+                    # dL/dk seed at (gx, gy), folded INTO the sweep so it
+                    # reaches the nodes left of gy in the same row
+                    g = g + jnp.where(
+                        (r == 0) & (w == ly1 - 1), gout_ref[0], 0.0
+                    )
                 news[tt] = g
                 g_right = g
-            gbuf_ref[par, pl.ds(w * _M, 2 * _M)] = jnp.concatenate(
-                [gwin[0:1]] + news + [gwin[_M + 1:]], axis=0
-            )
+            gbuf_ref[par, pl.ds(w * _M + 1, _M)] = jnp.stack(news)
             return g_right
 
-        zero = jnp.zeros_like(gbuf_ref[0, 0:1])
+        zero = jnp.zeros_like(gbuf_ref[0, 0])
         lax.fori_loop(0, ly1, adj_cell, zero)
 
-        # ---- dz for row i: cells ascending ------------------------------
-        def dz_cell(w, _inner):
-            z = z_ref[ci * ly1 + w, 0][None]
-            gwin = _win2(gbuf_ref, par, w)
-            kcur = _win2(kbuf_ref, par, w)
-            kdn = _win2(kbuf_ref, 1 - par, w)
-            g_here = gwin[1:_M + 1]
-            left = kcur[0:_M]
-            up = kdn[1:_M + 1]
-            corner = kdn[0:_M]
-            contrib = g_here * ((left + up) * (0.5 + z / 6.0) + corner * (z / 6.0))
-            dz_ref[ci * ly1 + w, 0] = dz_ref[ci * ly1 + w, 0] + jnp.sum(
-                contrib, axis=0
-            )
-            return 0
+        # ---- reconstruct primal row i-1 (ascending) ----------------------
+        # k[i-1,j] = (k[i,j] + k[i-1,j-1]·b)/a − k[i,j-1]
+        def rec_cell(w, kdl, par=par):
+            a = a_ref[w]
+            bb = b_ref[w]
+            kc = kbuf_ref[par, pl.ds(w * _M, _M + 1)]  # row i, 8w..8w+8
+            outs = []
+            for tt in range(_M):
+                kdl = (kc[tt + 1] + kdl * bb) / a - kc[tt]
+                outs.append(kdl)
+            kbuf_ref[1 - par, pl.ds(w * _M + 1, _M)] = jnp.stack(outs)
+            return kdl
+
+        kbuf_ref[1 - par, 0] = jnp.ones_like(kbuf_ref[0, 0])
+        ones = jnp.ones_like(kbuf_ref[0, 0])
+        lax.fori_loop(0, ly1, rec_cell, ones)
+
+        # ---- dz for row i: ∂k[i,j]/∂z = (l+u)(½+z/6) + c·z/6 -------------
+        def dz_cell(w, c, par=par):
+            z = z_ref[0, w, 0]
+            g_here = gbuf_ref[par, pl.ds(w * _M + 1, _M)]
+            kcur = kbuf_ref[par, pl.ds(w * _M, _M)]        # left k[i, 8w..]
+            up = kbuf_ref[1 - par, pl.ds(w * _M + 1, _M)]  # k[i-1, 8w+1..]
+            corner = kbuf_ref[1 - par, pl.ds(w * _M, _M)]
+            contrib = g_here * ((kcur + up) * (0.5 + z / 6.0) + corner * (z / 6.0))
+            dz_ref[0, w, 0] = dz_ref[0, w, 0] + jnp.sum(contrib, axis=0)
+            return c
 
         lax.fori_loop(0, ly1, dz_cell, 0)
-        # row i+1's adjoint values must not leak into row i-1's pass
-        gbuf_ref[1 - par] = jnp.zeros_like(gbuf_ref[0])
-        return 0
-
-    lax.fori_loop(0, gx, row_body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -235,83 +240,100 @@ def _bwd_kernel(gx, gy, lx1, ly1, ck,
 # ---------------------------------------------------------------------------
 
 
-def _pad_tile(x, axis=-1, tile=_TILE):
-    b = x.shape[axis]
-    pad = (-b) % tile
-    if pad:
-        width = [(0, 0)] * x.ndim
-        width[axis] = (0, pad)
-        x = jnp.pad(x, width)
-    return x, b
-
-
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fwd_call(z_flat, lx1, ly1, with_ck):
-    """z_flat: [lx1*ly1, 1, B] → k [B] (and checkpoints)."""
-    gx, gy = lx1 << _LAM, ly1 << _LAM
-    ck = _ck_interval(gx)
-    n_ck = gx // ck + 1
-    rows = gy + 2 * _M
-    z_p, b = _pad_tile(z_flat)
-    bp = z_p.shape[-1]
-    kern = partial(_fwd_kernel, gx, gy, lx1, ly1, ck)
-    out, cks = pl.pallas_call(
+def _params():
+    return pltpu.CompilerParams(
+        dimension_semantics=(
+            pltpu.GridDimensionSemantics.PARALLEL,
+            pltpu.GridDimensionSemantics.ARBITRARY,
+        )
+    )
+
+
+def _pad_pairs(x):
+    """[B, lx1, ly1] -> [lx1, ly1, nt, 8, 128] (+ original B, tile count)."""
+    b, lx1, ly1 = x.shape
+    nt = -(-b // _P)
+    pad = nt * _P - b
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, lx1, ly1), x.dtype)])
+    z = jnp.transpose(x, (1, 2, 0)).reshape(lx1, ly1, nt, 8, 128)
+    return z, b, nt
+
+
+def _fwd_call(z, nt, lx1, ly1, with_ck):
+    bpc = _bands_per_ck(lx1)
+    G1 = ly1 * _M + 1
+    nslots = lx1 // bpc
+    kern = partial(_fwd_kernel, lx1, ly1, bpc)
+    k, cks = pl.pallas_call(
         kern,
-        grid=(bp // _TILE,),
-        in_specs=[pl.BlockSpec((lx1 * ly1, 1, _TILE), lambda p: (0, 0, p))],
+        grid=(nt, lx1),
+        in_specs=[
+            pl.BlockSpec((1, ly1, 1, 8, 128), lambda p, r: (r, 0, p, 0, 0)),
+        ],
         out_specs=[
-            pl.BlockSpec((1, _TILE), lambda p: (0, p)),
-            pl.BlockSpec((n_ck, rows, _TILE), lambda p: (0, 0, p)),
+            pl.BlockSpec((1, 8, 128), lambda p, r: (p, 0, 0)),
+            pl.BlockSpec((1, 1, G1, 8, 128), lambda p, r: (p, r // bpc, 0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, bp), z_flat.dtype),
-            jax.ShapeDtypeStruct((n_ck, rows, bp), z_flat.dtype),
+            jax.ShapeDtypeStruct((nt, 8, 128), z.dtype),
+            jax.ShapeDtypeStruct((nt, nslots, G1, 8, 128), z.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows, _TILE), z_flat.dtype),
-            pltpu.VMEM((lx1 * ly1, 1, _TILE), z_flat.dtype),
-            pltpu.VMEM((lx1 * ly1, 1, _TILE), z_flat.dtype),
+            pltpu.VMEM((G1, 8, 128), z.dtype),
+            pltpu.VMEM((ly1, 8, 128), z.dtype),
+            pltpu.VMEM((ly1, 8, 128), z.dtype),
         ],
+        compiler_params=_params(),
         interpret=_interpret(),
-    )(z_p)
+    )(z)
     if with_ck:
-        return out[0, :b], cks[..., :b]
-    return out[0, :b]
+        return k, cks
+    return k
 
 
-def _bwd_call(z_flat, g_out, lx1, ly1):
-    gx, gy = lx1 << _LAM, ly1 << _LAM
-    ck = _ck_interval(gx)
-    n_ck = gx // ck + 1
-    rows = gy + 2 * _M
-    _, cks = _fwd_call(z_flat, lx1, ly1, with_ck=True)
-    z_p, b = _pad_tile(z_flat, tile=_TILE_BWD)
-    ck_p, _ = _pad_tile(cks, tile=_TILE_BWD)
-    g_p, _ = _pad_tile(g_out[None, :], tile=_TILE_BWD)
-    bp = z_p.shape[-1]
-    kern = partial(_bwd_kernel, gx, gy, lx1, ly1, ck)
+def _bwd_call(z, cks, g_out, nt, lx1, ly1):
+    bpc = _bands_per_ck(lx1)
+    G1 = ly1 * _M + 1
+    G2 = G1 + _M
+    kern = partial(_bwd_kernel, lx1, ly1, bpc)
+
+    def slot(r):
+        b = lx1 - 1 - r
+        return jnp.maximum(0, (b + 1) // bpc - 1)
+
     dz = pl.pallas_call(
         kern,
-        grid=(bp // _TILE_BWD,),
+        grid=(nt, lx1),
         in_specs=[
-            pl.BlockSpec((lx1 * ly1, 1, _TILE_BWD), lambda p: (0, 0, p)),
-            pl.BlockSpec((n_ck, rows, _TILE_BWD), lambda p: (0, 0, p)),
-            pl.BlockSpec((1, _TILE_BWD), lambda p: (0, p)),
+            pl.BlockSpec(
+                (1, ly1, 1, 8, 128), lambda p, r: (lx1 - 1 - r, 0, p, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, G1, 8, 128), lambda p, r: (p, slot(r), 0, 0, 0)
+            ),
+            pl.BlockSpec((1, 8, 128), lambda p, r: (p, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((lx1 * ly1, 1, _TILE_BWD), lambda p: (0, 0, p)),
-        out_shape=jax.ShapeDtypeStruct((lx1 * ly1, 1, bp), z_flat.dtype),
+        out_specs=pl.BlockSpec(
+            (1, ly1, 1, 8, 128), lambda p, r: (lx1 - 1 - r, 0, p, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((lx1, ly1, nt, 8, 128), z.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, _TILE_BWD), z_flat.dtype),
-            pltpu.VMEM((2, rows, _TILE_BWD), z_flat.dtype),
-            pltpu.VMEM((lx1 * ly1, 1, _TILE_BWD), z_flat.dtype),
-            pltpu.VMEM((lx1 * ly1, 1, _TILE_BWD), z_flat.dtype),
+            pltpu.VMEM((2, G2, 8, 128), z.dtype),
+            pltpu.VMEM((2, G2, 8, 128), z.dtype),
+            pltpu.VMEM((ly1, 8, 128), z.dtype),
+            pltpu.VMEM((ly1, 8, 128), z.dtype),
+            pltpu.VMEM((ly1, 8, 128), z.dtype),
+            pltpu.VMEM((ly1, 8, 128), z.dtype),
         ],
+        compiler_params=_params(),
         interpret=_interpret(),
-    )(z_p, ck_p, g_p)
-    return dz[..., :b]
+    )(z, cks, g_out)
+    return dz
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -321,21 +343,27 @@ def solve_goursat_pde_pallas(inc: jax.Array, dyadic_order: int) -> jax.Array:
     VMEM-resident custom adjoint. Runs in interpret mode off-TPU (so CPU
     tests exercise the same code)."""
     assert dyadic_order == _LAM, "pallas solver is specialised to dyadic 3"
-    b, lx1, ly1 = inc.shape
-    z = jnp.transpose(inc, (1, 2, 0)).reshape(lx1 * ly1, 1, b) / float(4**_LAM)
-    return _fwd_call(z, lx1, ly1, with_ck=False)
+    z, b, nt = _pad_pairs(inc / float(4**_LAM))
+    lx1, ly1 = inc.shape[1], inc.shape[2]
+    return _fwd_call(z, nt, lx1, ly1, with_ck=False).reshape(-1)[:b]
 
 
 def _pde_fwd(inc, dyadic_order):
-    b, lx1, ly1 = inc.shape
-    z = jnp.transpose(inc, (1, 2, 0)).reshape(lx1 * ly1, 1, b) / float(4**_LAM)
-    return _fwd_call(z, lx1, ly1, with_ck=False), (z, lx1, ly1)
+    # the differentiated path emits the checkpoint rows as RESIDUALS, so the
+    # backward does not re-run the forward; under an outer jax.checkpoint
+    # (the chunked-Gram pipeline) they are rematerialised at backward time
+    # rather than stored, so peak memory is unchanged
+    z, b, nt = _pad_pairs(inc / float(4**_LAM))
+    lx1, ly1 = inc.shape[1], inc.shape[2]
+    k, cks = _fwd_call(z, nt, lx1, ly1, with_ck=True)
+    return k.reshape(-1)[:b], (z, cks, b, nt, lx1, ly1)
 
 
 def _pde_bwd(dyadic_order, res, g_out):
-    z, lx1, ly1 = res
-    dz = _bwd_call(z, g_out, lx1, ly1)  # [lx1*ly1, 1, B]
-    dinc = jnp.transpose(dz.reshape(lx1, ly1, -1), (2, 0, 1)) / float(4**_LAM)
+    z, cks, b, nt, lx1, ly1 = res
+    gp = jnp.zeros((nt * _P,), g_out.dtype).at[:b].set(g_out).reshape(nt, 8, 128)
+    dz = _bwd_call(z, cks, gp, nt, lx1, ly1)  # [lx1, ly1, nt, 8, 128]
+    dinc = jnp.transpose(dz.reshape(lx1, ly1, -1), (2, 0, 1))[:b] / float(4**_LAM)
     return (dinc,)
 
 
