@@ -61,6 +61,10 @@ class MazeConfig:
     # resumes from the newest checkpoint
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0
+    # stream per-step cost (and the MPF posterior mean when active) to this
+    # PNG while the episode runs (utils.live_plot.LiveFigure; reference
+    # analog: updatable_mpl.UpdatableSequentialPlot)
+    live_plot: Optional[str] = None
 
 
 def make_model(cfg: MazeConfig) -> ParticleModel:
@@ -251,6 +255,14 @@ def run_episode(
             ),
         )
 
+    live = None
+    if cfg.live_plot:
+        from ..utils.live_plot import LiveFigure
+
+        live = LiveFigure(
+            nrows=2 if mpf else 1, out_path=cfg.live_plot, redraw_every=10
+        )
+
     t0 = time.perf_counter()
     for step in range(start_step, cfg.steps):
         sub = step_keys[step]
@@ -279,6 +291,15 @@ def run_episode(
         states.append(state_h)
         actions.append(action_h)
         costs.append(float(cost_h))
+        if live:
+            live.append("inst_cost", cost_h)
+            if mpf and step >= cfg.warm_up:
+                mean = np.mean(fetched[5])
+                live.append(
+                    "mass posterior mean",
+                    np.exp(mean) if cfg.mpf_log_space else mean,
+                    panel=1,
+                )
         reached_goal = bool(reached_h)
         if crashed_h:
             if verbose:
@@ -295,6 +316,9 @@ def run_episode(
         ):
             _save_ckpt(step + 1)
     wall = time.perf_counter() - t0
+    if live:
+        live.redraw()
+        live.close()
 
     return {
         "trajectory": np.stack(states),
@@ -315,9 +339,14 @@ def main():
     parser.add_argument("--episodes", type=int, default=1)
     parser.add_argument("--use-mpf", action="store_true")
     parser.add_argument("--out", default=None)
+    parser.add_argument("--live-plot", default=None, metavar="PNG",
+                        help="stream per-step cost curves to this PNG")
     args = parser.parse_args()
 
-    cfg = MazeConfig(kernel=args.kernel, steps=args.steps, use_mpf=args.use_mpf)
+    cfg = MazeConfig(
+        kernel=args.kernel, steps=args.steps, use_mpf=args.use_mpf,
+        live_plot=args.live_plot,
+    )
     for ep, seed in enumerate(generate_seeds(args.episodes)):
         result = run_episode(cfg, seed, verbose=True)
         summary = {

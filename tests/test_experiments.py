@@ -126,3 +126,14 @@ def test_maze_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(
         resumed["trajectory"], full["trajectory"], rtol=1e-4, atol=1e-5
     )
+
+
+def test_maze_live_plot_streams(tmp_path):
+    """A maze episode with live_plot set streams a cost-curve PNG."""
+    from sigsvgd_tpu.experiments.maze import MazeConfig, run_episode
+
+    png = tmp_path / "live.png"
+    run_episode(
+        MazeConfig(kernel="rbf", steps=3, live_plot=str(png)), seed=3
+    )
+    assert png.exists() and png.stat().st_size > 0

@@ -281,3 +281,23 @@ def test_dust_lbfgs_and_opt_state_roll():
     assert aligned, "expected policy-aligned optimizer state leaves"
     for lf in aligned:
         np.testing.assert_allclose(np.asarray(lf[..., -1, :]), 0.0)
+
+
+def test_live_figure_streams_png(tmp_path):
+    from sigsvgd_tpu.utils.live_plot import LiveFigure
+
+    out = tmp_path / "live.png"
+    fig = LiveFigure(nrows=2, out_path=str(out), redraw_every=5)
+    for i in range(12):
+        fig.append("loss", jnp.asarray(1.0 / (i + 1)), panel=0)
+        fig.append("bw", np.cos(0.3 * i), panel=1)
+    # 24 appends / redraw_every=5 -> 4 throttled redraws so far
+    assert out.exists() and fig.n_redraws == 4
+    size0 = out.stat().st_size
+    fig.set_series("trace", np.linspace(0, 1, 50) ** 2, panel=0)
+    fig.redraw()
+    assert out.stat().st_size > 0 and size0 > 0
+    # series replaced wholesale, appends preserved
+    assert len(fig._series[(0, "trace")]) == 50
+    assert len(fig._series[(0, "loss")]) == 12
+    fig.close()
