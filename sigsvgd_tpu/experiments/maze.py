@@ -27,7 +27,7 @@ from ..inference import MPF, GaussianLikelihood
 from ..kernels import GaussianKernel, ScaledGaussianKernel, SignatureKernel
 from ..models import ParticleModel
 from ..utils import distributions as du
-from ..utils.helper import generate_seeds, save_progress
+from ..utils.helper import enable_compile_cache, generate_seeds, save_progress
 
 
 @dataclasses.dataclass(frozen=True)
@@ -332,6 +332,7 @@ def run_episode(
 
 
 def main():
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--kernel", default="signature",
                         choices=["rbf", "rbf_fixed_bw", "signature"])

@@ -13,6 +13,8 @@ import json
 from typing import Dict, Tuple
 
 import jax
+
+from ..utils.helper import enable_compile_cache
 import jax.numpy as jnp
 import numpy as np
 
@@ -122,6 +124,7 @@ def run(
 
 
 def main():
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--method", default="pathsig", choices=["pathsig", "svgd", "sgd"])
     parser.add_argument("--n-iter", type=int, default=300)

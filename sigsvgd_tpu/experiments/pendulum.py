@@ -16,6 +16,8 @@ import time
 from typing import Dict
 
 import jax
+
+from ..utils.helper import enable_compile_cache
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -131,6 +133,7 @@ def run_disco(steps: int = 200, horizon: int = 30, n_actions: int = 256, seed: i
 
 
 def main():
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--controller", default="dust", choices=["dust", "disco"])
     parser.add_argument("--steps", type=int, default=200)

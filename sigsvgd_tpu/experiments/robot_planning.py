@@ -35,7 +35,7 @@ from ..models.robot.self_collision import (
     sample_self_collision_dataset,
     self_collision,
 )
-from ..utils.helper import generate_seeds, save_progress
+from ..utils.helper import enable_compile_cache, generate_seeds, save_progress
 from .planning import (
     PlannerConfig,
     PlanningProblem,
@@ -192,6 +192,7 @@ def run_experiment(
 
 
 def main():
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--scenes", nargs="+", default=["pillars_4"],
                         choices=list(SCENE_TAGS))

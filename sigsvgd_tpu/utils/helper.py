@@ -14,6 +14,14 @@ import jax
 import numpy as np
 
 
+def enable_compile_cache(path: str = "/tmp/sigsvgd_jax_cache") -> None:
+    """Persist XLA compilations across processes. The TPU in this container
+    compiles through a remote tunnel (minutes for large programs); every
+    experiment entry point calls this so repeat runs start hot."""
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+
 def generate_seeds(n: int, root_seed: int = 42) -> List[int]:
     """Deterministic list of experiment seeds."""
     rng = np.random.default_rng(root_seed)
