@@ -127,7 +127,7 @@ def _fwd_kernel(lx1, ly1, bpc, z_ref, k_ref, ck_ref, row_ref, a_ref, b_ref):
 
 
 def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
-                kbuf_ref, gbuf_ref, a_ref, b_ref, au_ref, bu_ref):
+                kbuf_ref, gbuf_ref, a_ref, b_ref, au_ref, bu_ref, ai_ref):
     """Grid (ntiles, lx1), band b = lx1-1-r (descending).
 
     z_ref [1, ly1, 1, 8, 128] (band b) · ck_ref [1, 1, G1, 8, 128] (anchor
@@ -155,6 +155,10 @@ def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
         bu_ref[:] = b_ref[:]
 
     a_ref[:], b_ref[:] = _coef(z_ref[0, :, 0])
+    # per-cell reciprocal once per band: the reconstruction sweep would
+    # otherwise issue a hardware divide per STEP (8 per cell, ~an order of
+    # magnitude slower than multiply on the VPU)
+    ai_ref[:] = 1.0 / a_ref[:]
 
     @pl.when((b + 1) % bpc == 0)
     def _():
@@ -205,14 +209,14 @@ def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
         lax.fori_loop(0, ly1, adj_cell, zero)
 
         # ---- reconstruct primal row i-1 (ascending) ----------------------
-        # k[i-1,j] = (k[i,j] + k[i-1,j-1]·b)/a − k[i,j-1]
+        # k[i-1,j] = (k[i,j] + k[i-1,j-1]·b)·a⁻¹ − k[i,j-1]
         def rec_cell(w, kdl, par=par):
-            a = a_ref[w]
+            ai = ai_ref[w]
             bb = b_ref[w]
             kc = kbuf_ref[par, pl.ds(w * _M, _M + 1)]  # row i, 8w..8w+8
             outs = []
             for tt in range(_M):
-                kdl = (kc[tt + 1] + kdl * bb) / a - kc[tt]
+                kdl = (kc[tt + 1] + kdl * bb) * ai - kc[tt]
                 outs.append(kdl)
             kbuf_ref[1 - par, pl.ds(w * _M + 1, _M)] = jnp.stack(outs)
             return kdl
@@ -325,6 +329,7 @@ def _bwd_call(z, cks, g_out, nt, lx1, ly1):
         scratch_shapes=[
             pltpu.VMEM((2, G2, 8, 128), z.dtype),
             pltpu.VMEM((2, G2, 8, 128), z.dtype),
+            pltpu.VMEM((ly1, 8, 128), z.dtype),
             pltpu.VMEM((ly1, 8, 128), z.dtype),
             pltpu.VMEM((ly1, 8, 128), z.dtype),
             pltpu.VMEM((ly1, 8, 128), z.dtype),
