@@ -816,3 +816,74 @@ def test_disco_rollout_parity(ref, monkeypatch):
         np.asarray(states), n(states_ref).reshape(n_act, H + 1, 2), rtol=1e-4,
         atol=1e-5,
     )
+
+
+def test_closed_loop_control_mse_parity(ref, monkeypatch):
+    """BASELINE 'control MSE vs reference at matched horizon/particle count':
+    a 4-step closed-loop pendulum MPC run (DuSt, MC likelihood path, 1 SVGD
+    iteration per solve, repeat-roll) with the SAME action samples injected
+    on both sides must produce matching control sequences and state
+    trajectories end-to-end (prior rebuild + roll + warm-started particles
+    all participate across steps)."""
+    import src.controllers.dust as rdust
+
+    n_steps = 4
+    rng = np.random.default_rng(47)
+    pol0 = rng.uniform(-1.5, 1.5, size=(_NPOL, _H, 1)).astype(np.float32)
+    state0 = np.array([np.pi / 2, 0.2], np.float32)
+
+    # replicate the jax DuSt.forward PRNG stream per MPC step to extract the
+    # eps draws the reference side must consume
+    mpc_keys = jax.random.split(jax.random.PRNGKey(11), n_steps)
+    eps_queue = []
+    for s in range(n_steps):
+        k_after, _k_par = jax.random.split(mpc_keys[s])
+        step_keys = jax.random.split(k_after, 2)  # opt_steps=1 (+ roll key)
+        eps_queue.append(
+            np.asarray(
+                jax.random.normal(step_keys[0], (_NSAMP, _NPOL, _H, 1),
+                                  jnp.float32)
+            )
+        )
+
+    calls = {"i": 0}
+
+    def fake_sample(self, pol_mean=None):
+        pm = pol_mean if pol_mean is not None else self.pol_mean
+        eps = eps_queue[calls["i"]]
+        calls["i"] += 1
+        return pm + t(eps)
+
+    monkeypatch.setattr(rdust.DuSt, "_sample_actions", fake_sample)
+
+    # -- reference closed loop ---------------------------------------------
+    rctrl, rmodel = _make_ref_dust(ref, _NSAMP, pol0)
+    rstate = t(state0)
+    ref_actions, ref_states = [], []
+    for s in range(n_steps):
+        a_seq_ref, _ = rctrl.forward(rstate, rmodel, None, opt_steps=1)
+        rstate = rmodel.step(rstate[None], a_seq_ref[0:1][None])[0, 0]
+        ref_actions.append(n(a_seq_ref[0]))
+        ref_states.append(n(rstate))
+
+    # -- TPU-native closed loop --------------------------------------------
+    from sigsvgd_tpu.models.pendulum import PendulumModel
+
+    dust = _make_my_dust(_NSAMP)
+    model = PendulumModel()
+    ctrl = dust.init(jax.random.PRNGKey(0), pol_mean=jnp.asarray(pol0))
+    state = jnp.asarray(state0)
+    my_actions, my_states = [], []
+    for s in range(n_steps):
+        a_seq, ctrl, _ = dust.forward(state, ctrl, None, mpc_keys[s],
+                                      opt_steps=1)
+        state = model.step(state[None], a_seq[0:1])[0]
+        my_actions.append(np.asarray(a_seq[0]))
+        my_states.append(np.asarray(state))
+
+    ref_a, my_a = np.stack(ref_actions), np.stack(my_actions)
+    ref_s, my_s = np.stack(ref_states), np.stack(my_states)
+    control_mse = float(((ref_a - my_a) ** 2).mean())
+    state_mse = float(((ref_s - my_s) ** 2).mean())
+    assert control_mse < 1e-6, (control_mse, ref_a, my_a)
+    assert state_mse < 1e-5, (state_mse, ref_s, my_s)
