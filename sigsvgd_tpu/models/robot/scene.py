@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...utils.math import safe_norm
+from .mesh_scene import MeshObstacle, grid_sdf, mesh_sdf_grid
 
 try:
     import yaml
@@ -48,10 +49,18 @@ class Primitive:
 
 @dataclasses.dataclass(frozen=True)
 class Scene:
+    """Obstacles = analytic primitives + (optionally) posed triangle meshes.
+
+    Mesh obstacles ride a host-precomputed BVH distance grid with a
+    differentiable on-device lookup (``mesh_scene.py``) — the reference's
+    pybullet mesh bodies (``robot_scene.py:325-385``) mapped to the
+    TPU-compatible split."""
+
     name: str
     primitives: Tuple[Primitive, ...]
     workspace_low: Tuple[float, float, float] = (-1.0, -1.0, 0.0)
     workspace_high: Tuple[float, float, float] = (1.0, 1.0, 1.5)
+    meshes: Tuple["MeshObstacle", ...] = ()
 
 
 def _primitive_sdf(p: Primitive, x: jax.Array) -> jax.Array:
@@ -86,11 +95,15 @@ def _primitive_sdf(p: Primitive, x: jax.Array) -> jax.Array:
 
 
 def scene_sdf(scene: Scene, x: jax.Array) -> jax.Array:
-    """Exact scene SDF: min over primitives. ``x [..., 3] → [...]``."""
-    if not scene.primitives:
+    """Scene SDF: min over primitives (exact) and mesh obstacles (BVH grid,
+    trilinear). ``x [..., 3] → [...]``."""
+    ds = [_primitive_sdf(p, x) for p in scene.primitives]
+    for m in scene.meshes:
+        grid = mesh_sdf_grid(m, scene.workspace_low, scene.workspace_high)
+        ds.append(grid_sdf(grid, x))
+    if not ds:
         return jnp.full(x.shape[:-1], jnp.inf, x.dtype)
-    ds = jnp.stack([_primitive_sdf(p, x) for p in scene.primitives], axis=0)
-    return jnp.min(ds, axis=0)
+    return jnp.min(jnp.stack(ds, axis=0), axis=0)
 
 
 def scene_occupancy(scene: Scene, x: jax.Array, margin: float = 0.0) -> jax.Array:
@@ -134,6 +147,16 @@ def scene_to_dict(scene: Scene) -> dict:
             }
             for p in scene.primitives
         ],
+        "meshes": [
+            {
+                "path": m.path,
+                "position": list(m.position),
+                "rot": list(m.rot),
+                "margin": m.margin,
+                "resolution": m.resolution,
+            }
+            for m in scene.meshes
+        ],
     }
 
 
@@ -151,6 +174,16 @@ def scene_from_dict(d: dict) -> Scene:
         ),
         workspace_low=tuple(d.get("workspace", {}).get("low", (-1, -1, 0))),
         workspace_high=tuple(d.get("workspace", {}).get("high", (1, 1, 1.5))),
+        meshes=tuple(
+            MeshObstacle(
+                path=m["path"],
+                position=tuple(m.get("position", (0, 0, 0))),
+                rot=tuple(m.get("rot", (1, 0, 0, 0, 1, 0, 0, 0, 1))),
+                margin=float(m.get("margin", 0.02)),
+                resolution=int(m.get("resolution", 48)),
+            )
+            for m in d.get("meshes", [])
+        ),
     )
 
 
