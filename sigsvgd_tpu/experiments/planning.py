@@ -216,10 +216,11 @@ def run_optimisation(
     if config.method == "ps_sgd":
         # pathsig warmup then plain SGD refinement (:431-443)
         n_warm = config.n_iter - config.n_iter // 4
-        x_mid, state, data1 = svgd.run(x0, score, n_warm, key=key)
+        x_mid, state, data1 = svgd.run(x0, score, n_warm, key=key,
+                                       value_fn=value_fn)
         x_final, _, data2 = svgd.run(
             x_mid, sgd_score(problem.batch_cost), config.n_iter // 4, key=key,
-            state=state,
+            state=state, value_fn=value_fn,
         )
         return x_final, (data1, data2)
 
@@ -245,7 +246,12 @@ def run_optimisation(
         remaining = config.n_iter - start_iter
         while remaining > 0:
             seg = min(checkpoint_every, remaining)
-            x, state, data = svgd.run_host_loop(x, score, seg, key=key, state=state)
+            # advance the key stream per segment: reusing the base key would
+            # hand every segment the identical split(key, seg) step keys
+            seg_key = jax.random.fold_in(key, start_iter)
+            x, state, data = svgd.run_host_loop(
+                x, score, seg, key=seg_key, state=state, value_fn=value_fn
+            )
             losses.append(data.loss)
             start_iter += seg
             remaining -= seg
@@ -256,10 +262,15 @@ def run_optimisation(
         from ..inference.svgd import RunData as _RunData
 
         return x, _RunData(
-            trace=jnp.stack([x0, x]), loss=jnp.concatenate(losses), aux=None
+            trace=jnp.stack([x0, x]),
+            # resuming an already-complete run restores and returns directly
+            loss=(jnp.concatenate(losses) if losses else jnp.zeros((0,))),
+            aux=None,
         )
     if host_loop:
-        x_final, _, data = svgd.run_host_loop(x0, score, config.n_iter, key=key)
+        x_final, _, data = svgd.run_host_loop(
+            x0, score, config.n_iter, key=key, value_fn=value_fn
+        )
     else:
         x_final, _, data = svgd.run(
             x0, score, config.n_iter, key=key, value_fn=value_fn

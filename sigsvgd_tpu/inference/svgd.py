@@ -234,6 +234,7 @@ class SVGD:
         key: Optional[jax.Array] = None,
         state: Optional[SVGDState] = None,
         trace_every: int = 0,
+        value_fn=None,
     ) -> Tuple[jax.Array, SVGDState, RunData]:
         """Host-driven variant of :meth:`run`: one jitted dispatch per step.
 
@@ -241,6 +242,7 @@ class SVGD:
         the chunked adjoint) a single `n_steps`-long scan can exceed device
         program limits; here only the step is compiled. Keys are precomputed
         (host-side splitting between chained dispatches costs a round-trip).
+        ``value_fn`` feeds line-search optimizers, exactly as in :meth:`run`.
         """
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -250,7 +252,7 @@ class SVGD:
         @jax.jit
         def one_step(x, st, step_key):
             score = score_fn(x, step_key)
-            x2, st2 = self.step_update(x, st, score)
+            x2, st2 = self.step_update(x, st, score, value_fn=value_fn)
             loss = score.loss if score.loss is not None else jnp.zeros(())
             return x2, st2, loss
 

@@ -269,7 +269,10 @@ def _pad_pairs(x):
 
 
 def _fwd_call(z, nt, lx1, ly1, with_ck):
-    bpc = _bands_per_ck(lx1)
+    # no-grad path: one dummy checkpoint store at the top band only (bpc =
+    # lx1) — pallas_call outputs cannot be DCE'd, so shrinking the slot count
+    # and store frequency is what avoids streaming dead rows to HBM
+    bpc = _bands_per_ck(lx1) if with_ck else lx1
     G1 = ly1 * _M + 1
     nslots = lx1 // bpc
     kern = partial(_fwd_kernel, lx1, ly1, bpc)

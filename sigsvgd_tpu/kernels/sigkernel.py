@@ -479,7 +479,6 @@ def solve_goursat_pde_mxu(
     Md = jnp.asarray(_propagator_polys(m, degree))  # [D+1, nb, nb]
 
     z = inc / float(4**lam)
-    degs = jnp.arange(degree + 1, dtype=inc.dtype)
     prec = {
         "highest": lax.Precision.HIGHEST,
         "high": lax.Precision.HIGH,
@@ -491,8 +490,14 @@ def solve_goursat_pde_mxu(
         # z-powers are built per block from the scalar z (a global
         # [B, lx1, ly1, D+1] tensor picks up 32-128x TPU tile padding in the
         # AD accumulators and OOMs at 10⁶ pairs); one shared-lhs matmul
-        # against all degree slices, then the degree contraction
-        zp = zcell[:, None] ** degs[None, :]  # [B, D+1]
+        # against all degree slices, then the degree contraction.
+        # Powers by repeated multiply, NOT `z ** degs`: pow's VJP at z == 0
+        # (a repeated path point makes the increment exactly zero) is
+        # 0 * inf = NaN, which would poison the whole Stein velocity
+        pows = [jnp.ones_like(zcell)]
+        for _ in range(degree):
+            pows.append(pows[-1] * zcell)
+        zp = jnp.stack(pows, axis=1)  # [B, D+1]
         tmp = jnp.einsum("be,kfe->bkf", inp, Md, precision=prec)
         return jnp.einsum("bkf,bk->bf", tmp, zp, precision=lax.Precision.HIGHEST)
 

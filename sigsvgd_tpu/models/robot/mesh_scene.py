@@ -70,9 +70,34 @@ def _cached_grid(
     tf[:3, :3] = np.asarray(obstacle.rot, np.float32).reshape(3, 3)
     tf[:3, 3] = obstacle.position
     dists = mesh.point_distances(pts.astype(np.float32), transform=tf)
-    values = (dists - obstacle.margin).astype(np.float32).reshape(n, n, n)
-    spacing = tuple(float(s) for s in (hi - lo) / (n - 1))
-    return SdfGrid(tuple(map(float, lo)), spacing, values)
+    dists = dists.astype(np.float32).reshape(n, n, n)
+    spacing = (hi - lo) / (n - 1)
+    # sign recovery for CLOSED meshes: the BVH distance is unsigned, so a
+    # point deep inside a solid would read as free. Flood-fill the lattice
+    # from the workspace border through cells farther than one cell diagonal
+    # from the surface; unreached components are the interior, where the
+    # signed distance is −(distance to surface). Open meshes have no enclosed
+    # component and keep the thin-shell semantics.
+    shell_eps = float(np.linalg.norm(spacing))
+    passable = dists > shell_eps
+    try:
+        from scipy import ndimage
+
+        labels, _ = ndimage.label(passable)
+        border_labels = np.unique(
+            np.concatenate([
+                labels[0].ravel(), labels[-1].ravel(),
+                labels[:, 0].ravel(), labels[:, -1].ravel(),
+                labels[:, :, 0].ravel(), labels[:, :, -1].ravel(),
+            ])
+        )
+        outside = np.isin(labels, border_labels[border_labels != 0])
+        interior = passable & ~outside
+        dists = np.where(interior, -dists, dists)
+    except ImportError:  # pragma: no cover - scipy is in the image
+        pass
+    values = (dists - obstacle.margin).astype(np.float32)
+    return SdfGrid(tuple(map(float, lo)), tuple(map(float, spacing)), values)
 
 
 def mesh_sdf_grid(

@@ -63,6 +63,12 @@ def sharded_dust_forward(
     assert not ctrl.weighted_prior, "sharded DuSt uses uniform prior weights"
     ndev = mesh.shape[axis]
     assert ctrl.n_total % ndev == 0
+    if col_axis is not None:
+        # the Gram column split drops remainder columns silently otherwise
+        assert ctrl.n_total % mesh.shape[col_axis] == 0, (
+            f"n_total ({ctrl.n_total}) must divide the '{col_axis}' axis "
+            f"({mesh.shape[col_axis]})"
+        )
 
     sampler = ctrl._sampler()
     prior_var = ctrl._prior_var()
@@ -121,6 +127,7 @@ def sharded_dust_forward(
             )
             if col_axis is not None:
                 sp = lax.psum(1, col_axis)
+                assert tau_all.shape[0] % sp == 0, (tau_all.shape, sp)
                 cols = tau_all.shape[0] // sp
                 col0 = lax.axis_index(col_axis) * cols
                 tau_cols = lax.dynamic_slice_in_dim(tau_all, col0, cols, axis=0)
@@ -222,6 +229,14 @@ def sharded_dust_forward(
     a_seq, new_pol, new_opt_state, weights = solve(
         state, cstate.pol_mean, opt_state, key
     )
+    if ctrl.roll_opt_state:
+        # horizon roll of policy-aligned optimizer leaves (axis -2 is the
+        # horizon — unsharded — so this is sharding-preserving)
+        from ..inference.svgd import roll_opt_state as _roll_state
+
+        new_opt_state = _roll_state(
+            new_opt_state, (ctrl.n_total, ctrl.hz_len, ctrl.dim_a)
+        )
     new_cstate = DuStState(
         pol_mean=new_pol,
         prior_weights=jnp.ones_like(cstate.prior_weights),

@@ -84,6 +84,7 @@ def _velocity_local(
 
     if col_axis is not None:
         sp = lax.psum(1, col_axis)
+        assert n_total % sp == 0, (n_total, sp)  # else remainder cols dropped
         cols = n_total // sp
         col0 = lax.axis_index(col_axis) * cols
         s_cols = lax.dynamic_slice_in_dim(s_all, col0, cols, axis=0)
@@ -228,6 +229,7 @@ def sharded_pathsig_score(
         )  # [N, L, C]
         if col_axis is not None:
             sp = lax.psum(1, col_axis)
+            assert tau_all.shape[0] % sp == 0, (tau_all.shape, sp)
             cols = tau_all.shape[0] // sp
             col0 = lax.axis_index(col_axis) * cols
             tau_cols = lax.dynamic_slice_in_dim(tau_all, col0, cols, axis=0)

@@ -180,3 +180,29 @@ def test_mesh_obstacle_in_scene_and_yaml(tmp_path):
     assert loaded.meshes == scene.meshes
     d2 = float(scene_sdf(loaded, jnp.asarray([0.0, 0.0, 0.62])))
     np.testing.assert_allclose(d2, d_slab, rtol=1e-6)
+
+
+def test_mesh_interior_is_negative():
+    """Deep inside a closed mesh the grid SDF must be NEGATIVE (flood-fill
+    sign recovery) so collision costs cannot reward tunneling through solid
+    obstacles, and its gradient must point OUT of the solid."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from sigsvgd_tpu.models.robot.mesh_scene import (
+        MeshObstacle, box_mesh, grid_sdf, mesh_sdf_grid, write_stl,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        stl = Path(d) / "solid.stl"
+        write_stl(stl, box_mesh((0.4, 0.4, 0.4)))
+        obst = MeshObstacle(str(stl), position=(0.0, 0.0, 0.5), margin=0.0,
+                            resolution=48)
+        grid = mesh_sdf_grid(obst, (-0.5, -0.5, 0.0), (0.5, 0.5, 1.0))
+        center = float(grid_sdf(grid, jnp.asarray([0.0, 0.0, 0.5])))
+        assert center < -0.1, center  # ~ -0.2 (half-extent) at the centroid
+        # gradient at an interior point off-center points toward +z exit
+        g = jax.grad(lambda p: grid_sdf(grid, p))(jnp.asarray([0.0, 0.0, 0.62]))
+        assert float(g[2]) > 0.3, np.asarray(g)

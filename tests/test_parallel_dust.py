@@ -148,3 +148,35 @@ def test_sharded_dust_mc_and_params_matches_single_device():
         np.asarray(cs_single.pol_mean), np.asarray(cs_shard.pol_mean),
         rtol=2e-3, atol=2e-4,
     )
+
+
+def test_sharded_dust_rolls_opt_state():
+    """roll_opt_state=True: the sharded solve must roll policy-aligned
+    optimizer leaves along the horizon exactly like DuSt.forward (review
+    r2: previously silently skipped)."""
+    import dataclasses
+
+    ctrl = dataclasses.replace(_controller(), roll_opt_state=True)
+    key = jax.random.PRNGKey(2)
+    cstate = ctrl.init(key)
+    state = jnp.asarray([jnp.pi, 0.0])
+
+    _, cs_single, _ = ctrl.forward(state, cstate, None, key, opt_steps=2)
+    mesh = make_mesh()
+    _, cs_shard = sharded_dust_forward(ctrl, state, cstate, key, 2, mesh)
+
+    pol_shape = (ctrl.n_total, ctrl.hz_len, ctrl.dim_a)
+    leaves_s = [
+        lf for lf in jax.tree_util.tree_leaves(cs_single.svgd_state.opt_state)
+        if getattr(lf, "ndim", 0) >= 3 and tuple(lf.shape[-3:]) == pol_shape
+    ]
+    leaves_p = [
+        lf for lf in jax.tree_util.tree_leaves(cs_shard.svgd_state.opt_state)
+        if getattr(lf, "ndim", 0) >= 3 and tuple(lf.shape[-3:]) == pol_shape
+    ]
+    assert leaves_s and len(leaves_s) == len(leaves_p)
+    for ls, lp in zip(leaves_s, leaves_p):
+        np.testing.assert_allclose(np.asarray(lp[..., -1, :]), 0.0)
+        np.testing.assert_allclose(
+            np.asarray(ls), np.asarray(lp), rtol=1e-3, atol=1e-4
+        )

@@ -157,3 +157,34 @@ def test_planning_checkpoint_resume(problem, tmp_path):
     np.testing.assert_allclose(
         np.asarray(x_res), np.asarray(x_full), rtol=1e-4, atol=1e-5
     )
+
+
+def test_planning_lbfgs_through_host_loop_and_checkpoints(problem, tmp_path):
+    """L-BFGS (extra-args zoom line search) must survive the host-loop and
+    checkpointed paths: run_host_loop/step_update forward value_fn (review
+    r2: optax update_fn requires value/grad/value_fn kwargs)."""
+    import jax
+
+    from sigsvgd_tpu.experiments.planning import PlannerConfig, run_optimisation
+
+    cfg = PlannerConfig(
+        method="svgd", n_iter=6, batch=4, optimizer="lbfgs", depth=2,
+        timesteps=40,
+    )
+    # forced host loop
+    x_hl, _ = run_optimisation(problem, cfg, jax.random.PRNGKey(1),
+                               host_loop=True)
+    assert np.isfinite(np.asarray(x_hl)).all()
+    # checkpointed (host-loop segments)
+    ck = tmp_path / "lbfgs_ck"
+    x_ck, _ = run_optimisation(problem, cfg, jax.random.PRNGKey(1),
+                               checkpoint_dir=str(ck), checkpoint_every=3)
+    assert np.isfinite(np.asarray(x_ck)).all()
+    # resuming an ALREADY-COMPLETE run restores and returns (no empty-
+    # concatenate crash), reproducing the finished particles
+    x_again, data = run_optimisation(problem, cfg, jax.random.PRNGKey(1),
+                                     checkpoint_dir=str(ck),
+                                     checkpoint_every=3)
+    np.testing.assert_allclose(np.asarray(x_again), np.asarray(x_ck),
+                               rtol=1e-6)
+    assert data.loss.shape == (0,)
