@@ -1,0 +1,93 @@
+"""Microbenchmark: Goursat-PDE solver paths on the real TPU chip.
+
+Times forward and forward+backward per pair for the Pallas band-streamed
+kernel vs the XLA wavefront scan at the flagship MPC shape (H=40 paths,
+dyadic order 3 — ``particle_maze_config.yaml:20``), and the MXU
+block-propagator at the planning shape (5 knots, dyadic 6 —
+``script_planning_robot.py:520``).
+
+Usage:  python examples/bench_pde_kernel.py [--pairs 16384] [--reps 20]
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+
+def _bench(fn, inc, reps=20):
+    """Chained timing: each rep's input depends on the previous rep's output
+    so reps cannot pipeline (unchained repeats under-report by >10x through
+    the remote-dispatch tunnel)."""
+    out = jax.block_until_ready(fn(inc))  # compile
+    t0 = time.perf_counter()
+    x = inc
+    for _ in range(reps):
+        out = fn(x)
+        # out is [B] (forward) or [B, lx1, ly1] (grad): fold a tiny function
+        # of it back into the next input either way
+        dep = out if out.ndim == inc.ndim else out[:, None, None]
+        x = x + 1e-30 * dep
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=16384)
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--mpc-len", type=int, default=40)
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sigsvgd_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+    from sigsvgd_tpu.kernels.pallas_sigkernel import solve_goursat_pde_pallas
+    from sigsvgd_tpu.kernels.sigkernel import (
+        solve_goursat_pde,
+        solve_goursat_pde_mxu,
+    )
+
+    key = jax.random.PRNGKey(0)
+    B, L = args.pairs, args.mpc_len
+    inc = jax.random.normal(key, (B, L - 1, L - 1), jnp.float32) * 0.05
+    g = jnp.ones((B,), jnp.float32)
+
+    def loss(solver):
+        def f(z):
+            return jnp.vdot(solver(z), g)
+
+        return f
+
+    print(f"{'solver':26s} {'pairs':>7s} {'fwd µs/pair':>12s} {'fwd+bwd µs/pair':>16s}",
+          flush=True)
+
+    def report(name, b, tf, tb):
+        print(f"{name:26s} {b:7d} {tf:12.3f} {tb:16.3f}", flush=True)
+
+    from sigsvgd_tpu.kernels.sigkernel import auto_chunk
+
+    chunk = auto_chunk(L - 1, L - 1, 3)
+    for name, fwd in (
+        ("pallas dyadic-3", lambda z: solve_goursat_pde_pallas(z, 3)),
+        ("xla-scan dyadic-3", lambda z: solve_goursat_pde(z, 3, chunk)),
+    ):
+        tf = _bench(jax.jit(fwd), inc, reps=args.reps)
+        tb = _bench(jax.jit(jax.grad(loss(fwd))), inc, reps=args.reps)
+        report(name, B, tf / B * 1e6, tb / B * 1e6)
+
+    # planning shape: 5-knot paths, dyadic 6 -> MXU block-propagator
+    inc6 = jax.random.normal(key, (B, 4, 4), jnp.float32) * 0.3
+    for prec in ("highest", "high", "default"):
+        fwd6 = lambda z, p=prec: solve_goursat_pde_mxu(z, 6, precision=p)
+        tf = _bench(jax.jit(fwd6), inc6, reps=args.reps)
+        tb = _bench(jax.jit(jax.grad(loss(fwd6))), inc6, reps=args.reps)
+        report(f"mxu dyadic-6 ({prec})", B, tf / B * 1e6, tb / B * 1e6)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,10 +6,13 @@ the flagship MPC scale (~5·10⁵ pairs, G=320) that is HBM-roofline-bound and
 tens of seconds per Gram+adjoint. These kernels keep the sweep VMEM-resident
 and stream everything else:
 
-  * layout: 1024 pairs per program packed ``[8, 128]`` (one full vreg per
-    elementwise op); the fine-column axis ``j`` lives on the LEADING
-    (untiled) dimension of every buffer, so the within-row recurrence
-    indexes rows dynamically with no sublane-alignment constraints;
+  * layout: 2048 pairs per program packed ``[16, 128]`` — every elementwise
+    op lowers to TWO vreg instructions whose dependency chains are
+    independent, so the serial per-cell FMA chain of one half overlaps the
+    VPU latency of the other (measured ~1.7x over the [8, 128] layout).
+    The fine-column axis ``j`` lives on the LEADING (untiled) dimension of
+    every buffer, so the within-row recurrence indexes rows dynamically
+    with no sublane-alignment constraints;
   * grid ``(pair_tiles, lx1)``: the second axis walks coarse-row BANDS of 8
     fine rows; the z increments, checkpoints, and (backward) dz blocks
     stream per band, so VMEM holds only O(G) state per tile — independent
@@ -18,12 +21,20 @@ and stream everything else:
     recurrence ``k[i,j] = (k[i,j-1] + k[i-1,j])·a − k[i-1,j-1]·b`` advance
     in place over a single row buffer; every ``bands_per_ck`` bands the row
     is checkpointed to HBM;
-  * backward (custom VJP): bands top-down; per row, the adjoint recurrence
-    sweeps right-to-left while the primal rows it needs are RECONSTRUCTED
-    by inverting the forward recurrence, re-anchored at the streamed
-    checkpoint rows (drift-bounding); ∂out/∂z accumulates in the band's dz
-    output block.  The dL/dk seed is folded INTO the top row's sweep so it
-    propagates to the nodes left of (gx, gy).
+  * backward (custom VJP): bands top-down; per row, THREE independent
+    recurrence chains run interleaved in a single cell loop — the adjoint
+    of row i sweeping right-to-left, the primal of row i−1 RECONSTRUCTED
+    left-to-right by inverting the forward recurrence (re-anchored at the
+    streamed checkpoint rows), and the ∂out/∂z accumulation of row i+1
+    pipelined one row behind (it needs both the adjoint and the
+    reconstruction of its row).  Interleaving fills the VPU issue slots a
+    single latency-bound chain leaves empty; a 3-generation primal buffer
+    keeps the three stages alias-free.  The dL/dk seed is folded INTO the
+    top row's sweep so it propagates to the nodes left of (gx, gy).  The
+    backward keeps [8, 128] tiles (its chains already interleave, and the
+    row buffers at [16, 128] would not fit VMEM): its BlockSpecs address
+    the forward's [16, 128] arrays by splitting the sublane dimension —
+    pure index maps, no repacking pass over HBM.
 
 Specialised to ``dyadic_order == 3`` (the reference maze/MPC setting,
 ``particle_maze_config.yaml:20``); other orders use the MXU block-propagator
@@ -32,12 +43,16 @@ parity ``i & 1 == t_loc & 1`` is then static, which Mosaic requires for
 stores through the buffers' leading index (traced store indices silently
 corrupt the slot selection).
 
-Measured (v5e, chained dispatch): forward bit-exact vs the XLA scan solver,
-adjoint 8e-5; 0.72 µs/pair forward and 2.6 µs/pair forward+backward at 16k
-pairs — ~12x the first-generation ``[1, 128]``-lane kernel and ~25x the XLA
-scan at the same batch.  Validated against ``solve_goursat_pde_scan``
-(values + VJP) in interpret mode on CPU (tests/test_pallas_sigkernel.py)
-and on device.
+Measured (v5e, chained dispatch so reps cannot pipeline, 131k pairs at the
+H=40 MPC shape): forward bit-exact vs the XLA scan solver, adjoint 8e-5;
+**0.37 µs/pair forward, 1.28 µs/pair forward+backward** — 7x / 2.5x the
+previous single-chain [8, 128] generation of this kernel (2.6 / 3.2) and
+~35x / ~70x the XLA wavefront scan at the same batch (12.5 / 92.8).  The
+fused backward runs at ~9 cycles per fine cell per 1024-pair tile for ~14
+vector instructions across its three chains — near the VPU issue floor, so
+further wins need fewer instructions per cell, not more overlap.  Validated
+against ``solve_goursat_pde_scan`` (values + VJP) in interpret mode on CPU
+(tests/test_pallas_sigkernel.py) and on device at b up to 4096.
 """
 from __future__ import annotations
 
@@ -51,7 +66,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LAM = 3
 _M = 1 << _LAM  # 8 — fine rows per band / fine cols per coarse cell
-_P = 1024       # pairs per program, shaped [8, 128]
+_S = 16         # forward sublanes per tile (2 vregs -> 2 overlapped chains)
+_P = _S * 128   # pairs per forward program
+_NH = _S // 8   # [8, 128] half-tiles per forward tile (backward granularity)
 
 
 def pallas_supported(lx1: int, ly1: int, dyadic_order: int) -> bool:
@@ -80,8 +97,8 @@ def _coef(z):
 def _fwd_kernel(lx1, ly1, bpc, z_ref, k_ref, ck_ref, row_ref, a_ref, b_ref):
     """Grid (ntiles, lx1): advance the 8 fine rows of one coarse band.
 
-    z_ref [1, ly1, 1, 8, 128] · k_ref [1, 8, 128] · ck_ref [1, 1, G1, 8, 128]
-    row_ref [G1, 8, 128] scratch · a_ref/b_ref [ly1, 8, 128] scratch.
+    z_ref [1, ly1, 1, S, 128] · k_ref [1, S, 128] · ck_ref [1, 1, G1, S, 128]
+    row_ref [G1, S, 128] scratch · a_ref/b_ref [ly1, S, 128] scratch.
     """
     r = pl.program_id(1)
     gy = ly1 * _M
@@ -128,14 +145,25 @@ def _fwd_kernel(lx1, ly1, bpc, z_ref, k_ref, ck_ref, row_ref, a_ref, b_ref):
 
 def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
                 kbuf_ref, gbuf_ref, a_ref, b_ref, au_ref, bu_ref, ai_ref):
-    """Grid (ntiles, lx1), band b = lx1-1-r (descending).
+    """Grid (ntiles·NH, lx1), band b = lx1-1-r (descending).
 
     z_ref [1, ly1, 1, 8, 128] (band b) · ck_ref [1, 1, G1, 8, 128] (anchor
     row 8b+8 when (b+1)%bpc==0) · gout_ref [1, 8, 128] · dz_ref
-    [1, ly1, 1, 8, 128] out · kbuf/gbuf [2, G2, 8, 128] scratch (G2 = G1+M;
-    the zero-padded tail doubles as the ĝ[·, >gy] = 0 boundary) · a/b the
+    [1, ly1, 1, 8, 128] out · kbuf [3, G1, 8, 128] (three primal-row
+    GENERATIONS: the dz stage trails the reconstruction by one row, so rows
+    i+1, i, i−1 must coexist; generation slots are ``t mod 3`` with t the
+    unrolled row index — static, as Mosaic requires for leading store
+    indices) · gbuf [2, G2, 8, 128] (adjoint row parity; G2 = G1+M, the
+    zero-padded tail doubles as the ĝ[·, >gy] = 0 boundary) · a/b the
     current band's coefficients · au/bu the band above's (for the top row's
     ĝ[i+1, ·] terms).
+
+    Per row t, ONE fused cell loop advances three mutually independent
+    recurrence chains — adjoint of row i (right-to-left), reconstruction of
+    row i−1 (left-to-right), dz of row i−1's predecessor i.e. row i+0 of
+    the previous iteration (throughput-only) — so the VPU issue slots that
+    a single latency-bound chain leaves idle are filled by the other two
+    (~2x over running the three stages as separate sweeps).
     """
     r = pl.program_id(1)
     b = lx1 - 1 - r
@@ -153,6 +181,9 @@ def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
     def _():
         au_ref[:] = a_ref[:]
         bu_ref[:] = b_ref[:]
+        # the carried band-top row was reconstructed as generation 8%3=2 by
+        # the band above; at this band's t=0 it is row i, generation 0
+        kbuf_ref[0] = kbuf_ref[2]
 
     a_ref[:], b_ref[:] = _coef(z_ref[0, :, 0])
     # per-cell reciprocal once per band: the reconstruction sweep would
@@ -162,8 +193,8 @@ def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
 
     @pl.when((b + 1) % bpc == 0)
     def _():
-        # band-top anchor: primal row 8b+8 (even row -> parity slot 0)
-        kbuf_ref[0, pl.ds(0, gy + 1)] = ck_ref[0, 0]
+        # band-top anchor: primal row 8b+8 -> generation 0
+        kbuf_ref[0] = ck_ref[0, 0]
 
     def dz_zero(w, c):
         dz_ref[0, w, 0] = jnp.zeros_like(dz_ref[0, w, 0])
@@ -171,25 +202,36 @@ def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
 
     lax.fori_loop(0, ly1, dz_zero, 0)
 
-    # unrolled over the band's 8 rows, i = 8b+8 - t_loc descending; the row
-    # parity i & 1 == t_loc & 1 is static (8b+8 is even), which keeps every
-    # kbuf/gbuf leading store index a compile-time constant
-    for t_loc in range(_M):
-        par = t_loc & 1
-        top = t_loc == 0  # row i+1 lives in the band above
+    # unrolled over the band's 8 rows, i = 8b+8 - t descending; t is a
+    # Python int so every kbuf/gbuf leading store index is compile-time
+    # static (traced leading store indices silently corrupt slot selection)
+    for t in range(_M):
+        par = t & 1         # ĝ[i] parity slot
+        top = t == 0        # row i+1 lives in the band above
+        kcur_s = t % 3      # primal row i
+        knew_s = (t + 1) % 3  # reconstructed row i-1
+        kdz_s = (t - 1) % 3   # dz stage: primal rows i+1 (t-1's "i") ...
+        kdzu_s = t % 3        # ... and its row-below i (read-only here)
 
-        # ---- adjoint row i (cells right-to-left) -------------------------
+        kbuf_ref[knew_s, 0] = jnp.ones_like(kbuf_ref[0, 0])
+
         # ĝ[i,j] = a(i,j+1)·ĝ[i,j+1] + a(i+1,j)·ĝ[i+1,j] − b(i+1,j+1)·ĝ[i+1,j+1]
-        def adj_cell(cc, g_right, par=par, top=top):
-            w = ly1 - 1 - cc
-            a_cur = a_ref[w]
-            a_up = au_ref[w] if top else a_ref[w]
-            b_up = bu_ref[w] if top else b_ref[w]
-            wr = jnp.minimum(w + 1, ly1 - 1)
+        # k[i-1,j] = (k[i,j] + k[i-1,j-1]·b)·a⁻¹ − k[i,j-1]
+        # ∂k[i,j]/∂z = (l+u)(½+z/6) + c·z/6, weighted by ĝ[i,j]
+        def fused_cell(cc, carry, par=par, top=top, kcur_s=kcur_s,
+                       knew_s=knew_s, kdz_s=kdz_s, kdzu_s=kdzu_s, t=t):
+            g_right, kdl = carry
+
+            # ---- adjoint of row i at cell w_a (right-to-left) ------------
+            w_a = ly1 - 1 - cc
+            a_cur = a_ref[w_a]
+            a_up = au_ref[w_a] if top else a_ref[w_a]
+            b_up = bu_ref[w_a] if top else b_ref[w_a]
+            wr = jnp.minimum(w_a + 1, ly1 - 1)
             a_cur_r = a_ref[wr]
             b_up_r = bu_ref[wr] if top else b_ref[wr]
-            gup = gbuf_ref[1 - par, pl.ds(w * _M + 1, _M + 1)]  # row i+1
-            news = [None] * _M
+            gup = gbuf_ref[1 - par, pl.ds(w_a * _M + 1, _M + 1)]  # row i+1
+            gnews = [None] * _M
             for tt in range(_M - 1, -1, -1):
                 a_r = a_cur_r if tt == _M - 1 else a_cur
                 bu = b_up_r if tt == _M - 1 else b_up
@@ -198,45 +240,55 @@ def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
                     # dL/dk seed at (gx, gy), folded INTO the sweep so it
                     # reaches the nodes left of gy in the same row
                     g = g + jnp.where(
-                        (r == 0) & (w == ly1 - 1), gout_ref[0], 0.0
+                        (r == 0) & (w_a == ly1 - 1), gout_ref[0], 0.0
                     )
-                news[tt] = g
+                gnews[tt] = g
                 g_right = g
-            gbuf_ref[par, pl.ds(w * _M + 1, _M)] = jnp.stack(news)
-            return g_right
+            gbuf_ref[par, pl.ds(w_a * _M + 1, _M)] = jnp.stack(gnews)
 
-        zero = jnp.zeros_like(gbuf_ref[0, 0])
-        lax.fori_loop(0, ly1, adj_cell, zero)
-
-        # ---- reconstruct primal row i-1 (ascending) ----------------------
-        # k[i-1,j] = (k[i,j] + k[i-1,j-1]·b)·a⁻¹ − k[i,j-1]
-        def rec_cell(w, kdl, par=par):
-            ai = ai_ref[w]
-            bb = b_ref[w]
-            kc = kbuf_ref[par, pl.ds(w * _M, _M + 1)]  # row i, 8w..8w+8
-            outs = []
+            # ---- reconstruct primal row i-1 at cell cc (ascending) -------
+            ai = ai_ref[cc]
+            bb = b_ref[cc]
+            kc = kbuf_ref[kcur_s, pl.ds(cc * _M, _M + 1)]  # row i, 8c..8c+8
+            kouts = []
             for tt in range(_M):
                 kdl = (kc[tt + 1] + kdl * bb) * ai - kc[tt]
-                outs.append(kdl)
-            kbuf_ref[1 - par, pl.ds(w * _M + 1, _M)] = jnp.stack(outs)
-            return kdl
+                kouts.append(kdl)
+            kbuf_ref[knew_s, pl.ds(cc * _M + 1, _M)] = jnp.stack(kouts)
 
-        kbuf_ref[1 - par, 0] = jnp.ones_like(kbuf_ref[0, 0])
-        ones = jnp.ones_like(kbuf_ref[0, 0])
-        lax.fori_loop(0, ly1, rec_cell, ones)
+            # ---- dz of the PREVIOUS iteration's row (pipelined) ----------
+            if t > 0:
+                z = z_ref[0, cc, 0]
+                g_here = gbuf_ref[1 - par, pl.ds(cc * _M + 1, _M)]
+                kcur = kbuf_ref[kdz_s, pl.ds(cc * _M, _M)]
+                up = kbuf_ref[kdzu_s, pl.ds(cc * _M + 1, _M)]
+                corner = kbuf_ref[kdzu_s, pl.ds(cc * _M, _M)]
+                contrib = g_here * (
+                    (kcur + up) * (0.5 + z / 6.0) + corner * (z / 6.0)
+                )
+                dz_ref[0, cc, 0] = dz_ref[0, cc, 0] + jnp.sum(contrib, axis=0)
+            return g_right, kdl
 
-        # ---- dz for row i: ∂k[i,j]/∂z = (l+u)(½+z/6) + c·z/6 -------------
-        def dz_cell(w, c, par=par):
-            z = z_ref[0, w, 0]
-            g_here = gbuf_ref[par, pl.ds(w * _M + 1, _M)]
-            kcur = kbuf_ref[par, pl.ds(w * _M, _M)]        # left k[i, 8w..]
-            up = kbuf_ref[1 - par, pl.ds(w * _M + 1, _M)]  # k[i-1, 8w+1..]
-            corner = kbuf_ref[1 - par, pl.ds(w * _M, _M)]
-            contrib = g_here * ((kcur + up) * (0.5 + z / 6.0) + corner * (z / 6.0))
-            dz_ref[0, w, 0] = dz_ref[0, w, 0] + jnp.sum(contrib, axis=0)
-            return c
+        zero = jnp.zeros_like(gbuf_ref[0, 0])
+        ones = jnp.ones_like(gbuf_ref[0, 0])
+        lax.fori_loop(0, ly1, fused_cell, (zero, ones))
 
-        lax.fori_loop(0, ly1, dz_cell, 0)
+    # dz of the band's last row (t = 7 has no successor iteration)
+    glast = (_M - 1) & 1
+    klast = (_M - 1) % 3
+    klastu = _M % 3
+
+    def dz_last(cc, c):
+        z = z_ref[0, cc, 0]
+        g_here = gbuf_ref[glast, pl.ds(cc * _M + 1, _M)]
+        kcur = kbuf_ref[klast, pl.ds(cc * _M, _M)]
+        up = kbuf_ref[klastu, pl.ds(cc * _M + 1, _M)]
+        corner = kbuf_ref[klastu, pl.ds(cc * _M, _M)]
+        contrib = g_here * ((kcur + up) * (0.5 + z / 6.0) + corner * (z / 6.0))
+        dz_ref[0, cc, 0] = dz_ref[0, cc, 0] + jnp.sum(contrib, axis=0)
+        return c
+
+    lax.fori_loop(0, ly1, dz_last, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -258,13 +310,13 @@ def _params():
 
 
 def _pad_pairs(x):
-    """[B, lx1, ly1] -> [lx1, ly1, nt, 8, 128] (+ original B, tile count)."""
+    """[B, lx1, ly1] -> [lx1, ly1, nt, S, 128] (+ original B, tile count)."""
     b, lx1, ly1 = x.shape
     nt = -(-b // _P)
     pad = nt * _P - b
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, lx1, ly1), x.dtype)])
-    z = jnp.transpose(x, (1, 2, 0)).reshape(lx1, ly1, nt, 8, 128)
+    z = jnp.transpose(x, (1, 2, 0)).reshape(lx1, ly1, nt, _S, 128)
     return z, b, nt
 
 
@@ -280,20 +332,20 @@ def _fwd_call(z, nt, lx1, ly1, with_ck):
         kern,
         grid=(nt, lx1),
         in_specs=[
-            pl.BlockSpec((1, ly1, 1, 8, 128), lambda p, r: (r, 0, p, 0, 0)),
+            pl.BlockSpec((1, ly1, 1, _S, 128), lambda p, r: (r, 0, p, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, 128), lambda p, r: (p, 0, 0)),
-            pl.BlockSpec((1, 1, G1, 8, 128), lambda p, r: (p, r // bpc, 0, 0, 0)),
+            pl.BlockSpec((1, _S, 128), lambda p, r: (p, 0, 0)),
+            pl.BlockSpec((1, 1, G1, _S, 128), lambda p, r: (p, r // bpc, 0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nt, 8, 128), z.dtype),
-            jax.ShapeDtypeStruct((nt, nslots, G1, 8, 128), z.dtype),
+            jax.ShapeDtypeStruct((nt, _S, 128), z.dtype),
+            jax.ShapeDtypeStruct((nt, nslots, G1, _S, 128), z.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G1, 8, 128), z.dtype),
-            pltpu.VMEM((ly1, 8, 128), z.dtype),
-            pltpu.VMEM((ly1, 8, 128), z.dtype),
+            pltpu.VMEM((G1, _S, 128), z.dtype),
+            pltpu.VMEM((ly1, _S, 128), z.dtype),
+            pltpu.VMEM((ly1, _S, 128), z.dtype),
         ],
         compiler_params=_params(),
         interpret=_interpret(),
@@ -304,6 +356,11 @@ def _fwd_call(z, nt, lx1, ly1, with_ck):
 
 
 def _bwd_call(z, cks, g_out, nt, lx1, ly1):
+    """The backward runs on [8, 128] half-tiles of the forward's [16, 128]
+    arrays (its row buffers would not fit VMEM at [16, 128], and its three
+    interleaved chains already cover the VPU latency): the pair-grid axis is
+    ``nt·NH`` and every BlockSpec splits the sublane dimension by indexing
+    half-blocks — no repacking pass over HBM."""
     bpc = _bands_per_ck(lx1)
     G1 = ly1 * _M + 1
     G2 = G1 + _M
@@ -315,22 +372,25 @@ def _bwd_call(z, cks, g_out, nt, lx1, ly1):
 
     dz = pl.pallas_call(
         kern,
-        grid=(nt, lx1),
+        grid=(nt * _NH, lx1),
         in_specs=[
             pl.BlockSpec(
-                (1, ly1, 1, 8, 128), lambda p, r: (lx1 - 1 - r, 0, p, 0, 0)
+                (1, ly1, 1, 8, 128),
+                lambda p, r: (lx1 - 1 - r, 0, p // _NH, p % _NH, 0),
             ),
             pl.BlockSpec(
-                (1, 1, G1, 8, 128), lambda p, r: (p, slot(r), 0, 0, 0)
+                (1, 1, G1, 8, 128),
+                lambda p, r: (p // _NH, slot(r), 0, p % _NH, 0),
             ),
-            pl.BlockSpec((1, 8, 128), lambda p, r: (p, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda p, r: (p // _NH, p % _NH, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, ly1, 1, 8, 128), lambda p, r: (lx1 - 1 - r, 0, p, 0, 0)
+            (1, ly1, 1, 8, 128),
+            lambda p, r: (lx1 - 1 - r, 0, p // _NH, p % _NH, 0),
         ),
-        out_shape=jax.ShapeDtypeStruct((lx1, ly1, nt, 8, 128), z.dtype),
+        out_shape=jax.ShapeDtypeStruct((lx1, ly1, nt, _S, 128), z.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, G2, 8, 128), z.dtype),
+            pltpu.VMEM((3, G1, 8, 128), z.dtype),
             pltpu.VMEM((2, G2, 8, 128), z.dtype),
             pltpu.VMEM((ly1, 8, 128), z.dtype),
             pltpu.VMEM((ly1, 8, 128), z.dtype),
@@ -369,8 +429,8 @@ def _pde_fwd(inc, dyadic_order):
 
 def _pde_bwd(dyadic_order, res, g_out):
     z, cks, b, nt, lx1, ly1 = res
-    gp = jnp.zeros((nt * _P,), g_out.dtype).at[:b].set(g_out).reshape(nt, 8, 128)
-    dz = _bwd_call(z, cks, gp, nt, lx1, ly1)  # [lx1, ly1, nt, 8, 128]
+    gp = jnp.zeros((nt * _P,), g_out.dtype).at[:b].set(g_out).reshape(nt, _S, 128)
+    dz = _bwd_call(z, cks, gp, nt, lx1, ly1)  # [lx1, ly1, nt, S, 128]
     dinc = jnp.transpose(dz.reshape(lx1, ly1, -1), (2, 0, 1))[:b] / float(4**_LAM)
     return (dinc,)
 

@@ -30,6 +30,24 @@ def test_pallas_vjp_matches_scan_ad(rng):
         )
 
 
+def test_pallas_multi_tile_pairs(rng):
+    """Pair counts spanning >1 [16,128] forward tile: exercises the
+    backward's half-tile BlockSpec index maps (p//NH, p%NH) across tiles and
+    the pad/unpad round-trip at a non-tile-aligned batch."""
+    b, lx, ly, lam = 2048 + 513, 3, 3, 3
+    inc = jnp.asarray(rng.standard_normal((b, lx, ly)).astype(np.float32) * 0.3)
+    g = jnp.asarray(rng.standard_normal(b).astype(np.float32))
+    k_ref, vjp_ref = jax.vjp(lambda z: solve_goursat_pde_scan(z, lam), inc)
+    k_pal, vjp_pal = jax.vjp(lambda z: solve_goursat_pde_pallas(z, lam), inc)
+    np.testing.assert_allclose(np.asarray(k_pal), np.asarray(k_ref), rtol=2e-5)
+    (d_ref,) = vjp_ref(g)
+    (d_pal,) = vjp_pal(g)
+    scale = np.abs(np.asarray(d_ref)).max()
+    np.testing.assert_allclose(
+        np.asarray(d_pal) / scale, np.asarray(d_ref) / scale, atol=5e-4
+    )
+
+
 def test_pallas_mpc_shape_smoke(rng):
     """Flagship MPC shape (H=40 path, dyadic 3) at a small pair count."""
     inc = jnp.asarray(rng.standard_normal((3, 40, 40)).astype(np.float32) * 0.05)
