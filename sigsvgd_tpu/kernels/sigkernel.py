@@ -477,6 +477,13 @@ def solve_goursat_pde_mxu(
     sub = (1 << lam) // m
     nbx, nby = lx1 * sub, ly1 * sub
     Md = jnp.asarray(_propagator_polys(m, degree))  # [D+1, nb, nb]
+    # split the last input node out of the matmul: nb = 2m+1 = 129 would pad
+    # the MXU contraction dimension to 256 (2x wasted passes); contracting
+    # over the first 128 nodes exactly and folding node 129 back in as a
+    # rank-1 VPU update halves the MXU work at identical (slightly better)
+    # accuracy
+    Md_main = Md[:, :, :-1]  # [D+1, nb, nb-1]
+    Md_last = Md[:, :, -1]   # [D+1, nb]
 
     z = inc / float(4**lam)
     prec = {
@@ -498,7 +505,8 @@ def solve_goursat_pde_mxu(
         for _ in range(degree):
             pows.append(pows[-1] * zcell)
         zp = jnp.stack(pows, axis=1)  # [B, D+1]
-        tmp = jnp.einsum("be,kfe->bkf", inp, Md, precision=prec)
+        tmp = jnp.einsum("be,kfe->bkf", inp[:, :-1], Md_main, precision=prec)
+        tmp = tmp + inp[:, -1][:, None, None] * Md_last[None]
         return jnp.einsum("bkf,bk->bf", tmp, zp, precision=lax.Precision.HIGHEST)
 
     rows = [jnp.ones((b, m + 1), inc.dtype) for _ in range(nbx)]
