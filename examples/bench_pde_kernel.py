@@ -20,19 +20,22 @@ import jax.numpy as jnp
 
 
 def _bench(fn, inc, reps=20):
-    """Chained timing: each rep's input depends on the previous rep's output
-    so reps cannot pipeline (unchained repeats under-report by >10x through
-    the remote-dispatch tunnel)."""
-    out = jax.block_until_ready(fn(inc))  # compile
-    t0 = time.perf_counter()
-    x = inc
-    for _ in range(reps):
+    """In-program chained timing: ``reps`` applications run inside ONE jitted
+    scan, each rep's input depending on the previous rep's output. Host-side
+    rep loops — even data-chained ones — measure mostly the per-dispatch
+    latency of the remote tunnel (hundreds of ms), not compute; a single
+    dispatch amortizes it 1/reps."""
+    from jax import lax
+
+    def body(x, _):
         out = fn(x)
-        # out is [B] (forward) or [B, lx1, ly1] (grad): fold a tiny function
-        # of it back into the next input either way
         dep = out if out.ndim == inc.ndim else out[:, None, None]
-        x = x + 1e-30 * dep
-    jax.block_until_ready(out)
+        return x + 1e-30 * dep, ()
+
+    run = jax.jit(lambda z: lax.scan(body, z, None, length=reps)[0])
+    jax.block_until_ready(run(inc))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(inc))
     return (time.perf_counter() - t0) / reps
 
 
@@ -72,20 +75,22 @@ def main():
     from sigsvgd_tpu.kernels.sigkernel import auto_chunk
 
     chunk = auto_chunk(L - 1, L - 1, 3)
+    # note: no nested jax.jit around fn — _bench jits the whole scan, and a
+    # nested jit inside the scanned body has crashed the device runtime
     for name, fwd in (
         ("pallas dyadic-3", lambda z: solve_goursat_pde_pallas(z, 3)),
         ("xla-scan dyadic-3", lambda z: solve_goursat_pde(z, 3, chunk)),
     ):
-        tf = _bench(jax.jit(fwd), inc, reps=args.reps)
-        tb = _bench(jax.jit(jax.grad(loss(fwd))), inc, reps=args.reps)
+        tf = _bench(fwd, inc, reps=args.reps)
+        tb = _bench(jax.grad(loss(fwd)), inc, reps=args.reps)
         report(name, B, tf / B * 1e6, tb / B * 1e6)
 
     # planning shape: 5-knot paths, dyadic 6 -> MXU block-propagator
     inc6 = jax.random.normal(key, (B, 4, 4), jnp.float32) * 0.3
     for prec in ("highest", "high", "default"):
         fwd6 = lambda z, p=prec: solve_goursat_pde_mxu(z, 6, precision=p)
-        tf = _bench(jax.jit(fwd6), inc6, reps=args.reps)
-        tb = _bench(jax.jit(jax.grad(loss(fwd6))), inc6, reps=args.reps)
+        tf = _bench(fwd6, inc6, reps=args.reps)
+        tb = _bench(jax.grad(loss(fwd6)), inc6, reps=args.reps)
         report(f"mxu dyadic-6 ({prec})", B, tf / B * 1e6, tb / B * 1e6)
 
 
