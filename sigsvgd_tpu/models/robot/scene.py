@@ -63,35 +63,62 @@ class Scene:
     meshes: Tuple["MeshObstacle", ...] = ()
 
 
-def _primitive_sdf(p: Primitive, x: jax.Array) -> jax.Array:
-    """Signed distance of points ``x [..., 3]`` to one primitive."""
-    pos = jnp.asarray(p.position, x.dtype)
-    rot = jnp.asarray(p.rot, x.dtype).reshape(3, 3)
-    local = jnp.einsum("ij,...j->...i", rot.T, x - pos)
+def _primitive_sdf_xyz(p: Primitive, px, py, pz) -> jax.Array:
+    """Signed distance of points given as COMPONENT arrays ``px/py/pz [...]``.
+
+    Component form keeps every op on fully-packed batch-shaped vregs — a
+    trailing ``[..., 3]`` axis occupies 3 of 128 lanes (~40x VPU waste) —
+    and the pose constants (Python floats at trace time) fold away for the
+    axis-aligned primitives every built-in scene uses."""
+    from .kinematics import _add, _mul
+
+    R = np.asarray(p.rot, np.float64).reshape(3, 3)
+    c = [float(v) for v in p.position]
+    d = [comp if ci == 0.0 else comp - ci for comp, ci in zip((px, py, pz), c)]
+    # local = R.T @ (x - pos); R entries are trace-time floats
+    local = []
+    for i in range(3):
+        e = 0.0
+        for j in range(3):
+            e = _add(e, _mul(float(R[j, i]), d[j]))
+        local.append(e)
+    lx, ly, lz = local
+
+    def _safe_sqrt(s):
+        return jnp.sqrt(s + 1e-12)  # matches utils.math.safe_norm
+
     if p.kind == "box":
-        half = jnp.asarray(p.size, x.dtype) / 2.0
-        q = jnp.abs(local) - half
-        outside = safe_norm(jnp.maximum(q, 0.0))
-        inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+        hx, hy, hz = (float(s) / 2.0 for s in p.size)
+        qx = jnp.abs(lx) - hx
+        qy = jnp.abs(ly) - hy
+        qz = jnp.abs(lz) - hz
+        ox = jnp.maximum(qx, 0.0)
+        oy = jnp.maximum(qy, 0.0)
+        oz = jnp.maximum(qz, 0.0)
+        outside = _safe_sqrt(ox * ox + oy * oy + oz * oz)
+        inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
         return outside + inside
     if p.kind == "sphere":
-        return safe_norm(local) - p.size[0]
+        return _safe_sqrt(lx * lx + ly * ly + lz * lz) - float(p.size[0])
     if p.kind == "cylinder":
-        r, hh = p.size[0], p.size[1]
-        d_r = safe_norm(local[..., :2]) - r
-        d_z = jnp.abs(local[..., 2]) - hh
-        q = jnp.stack([d_r, d_z], axis=-1)
-        outside = safe_norm(jnp.maximum(q, 0.0))
-        inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+        r, hh = float(p.size[0]), float(p.size[1])
+        d_r = _safe_sqrt(lx * lx + ly * ly) - r
+        d_z = jnp.abs(lz) - hh
+        o_r = jnp.maximum(d_r, 0.0)
+        o_z = jnp.maximum(d_z, 0.0)
+        outside = _safe_sqrt(o_r * o_r + o_z * o_z)
+        inside = jnp.minimum(jnp.maximum(d_r, d_z), 0.0)
         return outside + inside
     if p.kind == "capsule":
-        r, hh = p.size[0], p.size[1]
-        z = jnp.clip(local[..., 2], -hh, hh)
-        closest = jnp.stack(
-            [jnp.zeros_like(z), jnp.zeros_like(z), z], axis=-1
-        )
-        return safe_norm(local - closest) - r
+        r, hh = float(p.size[0]), float(p.size[1])
+        dz = lz - jnp.clip(lz, -hh, hh)
+        return _safe_sqrt(lx * lx + ly * ly + dz * dz) - r
     raise ValueError(f"Unknown primitive kind: {p.kind}")
+
+
+def _primitive_sdf(p: Primitive, x: jax.Array) -> jax.Array:
+    """Signed distance of points ``x [..., 3]`` to one primitive."""
+    return _primitive_sdf_xyz(p, x[..., 0], x[..., 1], x[..., 2])
 
 
 def scene_sdf(scene: Scene, x: jax.Array) -> jax.Array:
