@@ -563,25 +563,65 @@ class SignatureKernel:
     # (1-pass bf16, ~1e-3 — SVGD-grade only). Tests pin "highest".
     mxu_precision: str = "highest"
 
+    def _solver_kind(self, lx1: int, ly1: int) -> str:
+        if self.solver == "mxu" or (
+            self.solver == "auto" and _mxu_eligible(lx1, ly1, self.dyadic_order)
+        ):
+            return "mxu"
+        from .pallas_sigkernel import pallas_supported
+
+        if pallas_supported(lx1, ly1, self.dyadic_order) and (
+            self.solver == "pallas"
+            or (self.solver == "auto" and jax.default_backend() == "tpu")
+        ):
+            return "pallas"
+        return "wavefront"
+
     def _solve(self, inc: jax.Array, chunk: int) -> jax.Array:
         lx1, ly1 = inc.shape[-2], inc.shape[-1]
-        use_mxu = self.solver == "mxu" or (
-            self.solver == "auto" and _mxu_eligible(lx1, ly1, self.dyadic_order)
-        )
-        if use_mxu:
+        kind = self._solver_kind(lx1, ly1)
+        if kind == "mxu":
             return solve_goursat_pde_mxu(
                 inc, self.dyadic_order, self.mxu_degree,
                 precision=self.mxu_precision,
             )
-        from .pallas_sigkernel import pallas_supported, solve_goursat_pde_pallas
+        if kind == "pallas":
+            from .pallas_sigkernel import solve_goursat_pde_pallas
 
-        use_pallas = pallas_supported(lx1, ly1, self.dyadic_order) and (
-            self.solver == "pallas"
-            or (self.solver == "auto" and jax.default_backend() == "tpu")
-        )
-        if use_pallas:
             return solve_goursat_pde_pallas(inc, self.dyadic_order)
         return solve_goursat_pde(inc, self.dyadic_order, chunk)
+
+    def _auto_chunk(self, lx1: int, ly1: int, budget_bytes: int = 4 * 10**9) -> int:
+        """Pair-chunk size for the streamed-Gram pipeline, sized by the
+        ACTIVE solver's per-pair backward working set. The wavefront
+        adjoint's coefficient fields dominate its footprint, yielding small
+        chunks (~22k pairs at the H=40 MPC shape); the Pallas and MXU paths
+        carry only checkpoint rows / block-hop residuals, so they take ~6x
+        larger chunks — fewer sequential ``lax.map`` segments and
+        better-utilized kernel launches for the same memory budget."""
+        lam = self.dyadic_order
+        kind = self._solver_kind(lx1, ly1)
+        if kind == "mxu":
+            m = min(64, 1 << lam)
+            sub = (1 << lam) // m
+            nbx, nby = lx1 * sub, ly1 * sub
+            # checkpointed hop inputs + live rows + the [D+1, 2m+1] hop temp
+            # (exactly accounted, so 2x headroom instead of the wavefront's 3x)
+            per_pair = 4 * 2 * (
+                nbx * nby * (2 * m + 1)
+                + nbx * (m + 1)
+                + (self.mxu_degree + 1) * (2 * m + 1)
+            )
+        elif kind == "pallas":
+            from .pallas_sigkernel import _bands_per_ck
+
+            g1 = (ly1 << lam) + 1
+            nslots = lx1 // _bands_per_ck(lx1)
+            # z + dz blocks + streamed checkpoint rows
+            per_pair = 4 * 2 * (2 * lx1 * ly1 + nslots * g1)
+        else:
+            return auto_chunk(lx1, ly1, lam, budget_bytes)
+        return max(256, budget_bytes // per_pair)
 
     # above this many floats for the [n, m, L, L'] static-Gram tensor, the
     # pipeline switches to pair-chunked streaming (static Gram + increments +
@@ -601,7 +641,7 @@ class SignatureKernel:
             h = self._bandwidth_from(d2.reshape(n, -1), X.dtype)
             g = jnp.exp(-d2 / h)
         inc = gram_increments(g).reshape(n * m, lx1, ly1)
-        chunk = auto_chunk(lx1, ly1, self.dyadic_order)
+        chunk = self._auto_chunk(lx1, ly1)
         return self._solve(inc, chunk).reshape(n, m)
 
     def _bandwidth_from(self, d2_flat: jax.Array, dtype) -> jax.Array:
@@ -631,10 +671,9 @@ class SignatureKernel:
         ``jax.checkpoint`` (backward recomputes the O(block·L²) statics
         instead of storing them for every pair)."""
         lx1, ly1 = X.shape[1] - 1, Y.shape[1] - 1
-        lam = self.dyadic_order
         total = ix.shape[0]
         # never pad a small pair list up to the memory-budget chunk size
-        chunk = min(auto_chunk(lx1, ly1, lam), total)
+        chunk = min(self._auto_chunk(lx1, ly1), total)
         nb = -(-total // chunk)
         pad = nb * chunk - total
         if pad:
