@@ -680,17 +680,27 @@ class SignatureKernel:
             ix = jnp.concatenate([ix, jnp.zeros((pad,), ix.dtype)])
             iy = jnp.concatenate([iy, jnp.zeros((pad,), iy.dtype)])
 
+        # trajectory channel counts are tiny (2-7): a [c,p,2]x[c,q,2]
+        # batched einsum pads its contraction dim onto the MXU; an unrolled
+        # per-component broadcast sum keeps the cross terms on the VPU
+        def _cross(xc, yc):
+            return sum(
+                xc[:, :, None, k] * yc[:, None, :, k]
+                for k in range(xc.shape[-1])
+            )
+
         @jax.checkpoint
         def block(ab):
             ixc, iyc = ab
             xc, yc = X[ixc], Y[iyc]  # [c, L, C]
             if self.static == "linear":
-                g = jnp.einsum("cpk,cqk->cpq", xc, yc)
+                g = _cross(xc, yc)
             else:
                 xn = jnp.sum(xc * xc, axis=-1)
                 yn = jnp.sum(yc * yc, axis=-1)
-                cross = jnp.einsum("cpk,cqk->cpq", xc, yc)
-                d2 = jnp.maximum(xn[:, :, None] + yn[:, None, :] - 2.0 * cross, 0.0)
+                d2 = jnp.maximum(
+                    xn[:, :, None] + yn[:, None, :] - 2.0 * _cross(xc, yc), 0.0
+                )
                 g = jnp.exp(-d2 / h)
             inc = gram_increments(g)
             return self._solve(inc, chunk)
