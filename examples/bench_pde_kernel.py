@@ -21,10 +21,12 @@ import jax.numpy as jnp
 
 def _bench(fn, inc, reps=20):
     """In-program chained timing: ``reps`` applications run inside ONE jitted
-    scan, each rep's input depending on the previous rep's output. Host-side
-    rep loops — even data-chained ones — measure mostly the per-dispatch
-    latency of the remote tunnel (hundreds of ms), not compute; a single
-    dispatch amortizes it 1/reps."""
+    scan, each rep's input depending on the previous rep's output. Three
+    remote-tunnel traps this layout avoids: (a) host-side rep loops measure
+    per-dispatch latency, not compute — one dispatch amortizes it 1/reps;
+    (b) repeating the warmup's exact arguments hits a remote memoization
+    cache, so the timed call uses a DIFFERENT input; (c) only a host value
+    fetch reliably bounds completion."""
     from jax import lax
 
     def body(x, _):
@@ -33,9 +35,9 @@ def _bench(fn, inc, reps=20):
         return x + 1e-30 * dep, ()
 
     run = jax.jit(lambda z: lax.scan(body, z, None, length=reps)[0])
-    jax.block_until_ready(run(inc))  # compile
+    float(run(inc + 1.0).sum())  # compile + complete on a distinct input
     t0 = time.perf_counter()
-    jax.block_until_ready(run(inc))
+    float(run(inc).sum())
     return (time.perf_counter() - t0) / reps
 
 
@@ -58,19 +60,15 @@ def main():
     key = jax.random.PRNGKey(0)
     B, L = args.pairs, args.mpc_len
     inc = jax.random.normal(key, (B, L - 1, L - 1), jnp.float32) * 0.05
-    g = jnp.ones((B,), jnp.float32)
 
     def loss(solver):
         def f(z):
-            return jnp.vdot(solver(z), g)
+            return jnp.sum(solver(z))
 
         return f
 
-    print(f"{'solver':26s} {'pairs':>7s} {'fwd µs/pair':>12s} {'fwd+bwd µs/pair':>16s}",
-          flush=True)
-
-    def report(name, b, tf, tb):
-        print(f"{name:26s} {b:7d} {tf:12.3f} {tb:16.3f}", flush=True)
+    def report(name, which, b, t):
+        print(f"{name:26s} {which:8s} {b:7d} {t/b*1e6:9.3f} µs/pair", flush=True)
 
     from sigsvgd_tpu.kernels.sigkernel import auto_chunk
 
@@ -81,17 +79,16 @@ def main():
         ("pallas dyadic-3", lambda z: solve_goursat_pde_pallas(z, 3)),
         ("xla-scan dyadic-3", lambda z: solve_goursat_pde(z, 3, chunk)),
     ):
-        tf = _bench(fwd, inc, reps=args.reps)
-        tb = _bench(jax.grad(loss(fwd)), inc, reps=args.reps)
-        report(name, B, tf / B * 1e6, tb / B * 1e6)
+        report(name, "fwd", B, _bench(fwd, inc, reps=args.reps))
+        report(name, "fwd+bwd", B, _bench(jax.grad(loss(fwd)), inc, reps=args.reps))
 
     # planning shape: 5-knot paths, dyadic 6 -> MXU block-propagator
     inc6 = jax.random.normal(key, (B, 4, 4), jnp.float32) * 0.3
     for prec in ("highest", "high", "default"):
         fwd6 = lambda z, p=prec: solve_goursat_pde_mxu(z, 6, precision=p)
-        tf = _bench(fwd6, inc6, reps=args.reps)
-        tb = _bench(jax.grad(loss(fwd6)), inc6, reps=args.reps)
-        report(f"mxu dyadic-6 ({prec})", B, tf / B * 1e6, tb / B * 1e6)
+        report(f"mxu dyadic-6 ({prec})", "fwd", B, _bench(fwd6, inc6, reps=args.reps))
+        report(f"mxu dyadic-6 ({prec})", "fwd+bwd", B,
+               _bench(jax.grad(loss(fwd6)), inc6, reps=args.reps))
 
 
 if __name__ == "__main__":

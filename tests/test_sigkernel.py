@@ -243,3 +243,20 @@ def test_signature_kernel_auto_solver_consistency(rng):
     np.testing.assert_allclose(
         np.asarray(dk_a) / scale_g, np.asarray(dk_w) / scale_g, atol=5e-3
     )
+
+
+def test_auto_chunk_is_solver_aware():
+    """The streamed-Gram pair-chunk size must be sized by the ACTIVE solver's
+    per-pair backward footprint: the MXU block-propagator carries only
+    block-hop residuals (not the wavefront adjoint's O(L^2) coefficient
+    fields), so its chunks must not be SMALLER than a floor that keeps the
+    planning-scale Gram in a handful of lax.map segments."""
+    from sigsvgd_tpu.kernels.sigkernel import auto_chunk
+
+    mxu = SignatureKernel(dyadic_order=6, bandwidth=1.5)  # auto -> MXU at 4x4
+    assert mxu._solver_kind(4, 4) == "mxu"
+    assert mxu._auto_chunk(4, 4) >= 100_000
+    # the wavefront fallback keeps the legacy sizing
+    wave = SignatureKernel(dyadic_order=6, bandwidth=1.5, solver="wavefront")
+    assert wave._solver_kind(4, 4) == "wavefront"
+    assert wave._auto_chunk(4, 4) == auto_chunk(4, 4, 6)
