@@ -220,16 +220,11 @@ def run_optimisation(
         # block-propagator (dyadic >= 4) and Pallas (dyadic 3 on TPU) paths
         # scan fine — a single fused scan (validated at 100 iterations x 1k
         # particles) saves the per-iteration dispatch round-trip and keeps
-        # the whole run one program.
-        from ..kernels.pallas_sigkernel import pallas_supported
-        from ..kernels.sigkernel import _mxu_eligible
-
-        n_free = config.length - 2
-        scan_safe = config.method in ("svgd", "sgd") or _mxu_eligible(
-            n_free + 1, n_free + 1, config.depth
-        ) or (
-            pallas_supported(n_free + 1, n_free + 1, config.depth)
-            and jax.default_backend() == "tpu"
+        # the whole run one program. Ask the kernel itself which solver the
+        # ACTUAL Gram shape dispatches to (the paths it grams are the free
+        # knots x [batch, n_free, dof], so the grid edge is n_free - 1).
+        scan_safe = config.method in ("svgd", "sgd") or (
+            kernel._solver_kind(n_free - 1, n_free - 1) != "wavefront"
         )
         host_loop = (config.batch * config.batch > 200_000) and not scan_safe
 

@@ -72,7 +72,13 @@ _NH = _S // 8   # [8, 128] half-tiles per forward tile (backward granularity)
 
 
 def pallas_supported(lx1: int, ly1: int, dyadic_order: int) -> bool:
-    return dyadic_order == _LAM
+    # ly1 bound: the row buffers hold G1 = 8*ly1+1 slots of [16,128] (fwd) /
+    # [8,128]x(3+2 generations) (bwd) plus double-buffered z/ck blocks —
+    # ~24 KB*(G1+ly1) fwd and ~28 KB*G1 bwd of VMEM per program. ly1 <= 48
+    # (G1 <= 385, paths up to 49 points) keeps both under ~12 MB of the
+    # ~16 MB core budget; longer paths fall back to the XLA wavefront
+    # instead of failing Mosaic allocation. lx1 is unbounded (bands stream).
+    return dyadic_order == _LAM and ly1 <= 48
 
 
 def _bands_per_ck(lx1: int) -> int:

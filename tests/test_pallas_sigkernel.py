@@ -61,3 +61,15 @@ def test_pallas_mpc_shape_smoke(rng):
     np.testing.assert_allclose(
         np.asarray(d_pal) / scale, np.asarray(d_ref) / scale, atol=1e-3
     )
+
+
+def test_pallas_supported_bounds_vmem():
+    """Eligibility must reject path lengths whose row buffers exceed VMEM
+    (review r2: the [16,128] forward doubled the footprint; long dyadic-3
+    paths must fall back to the wavefront, not fail Mosaic allocation)."""
+    from sigsvgd_tpu.kernels.pallas_sigkernel import pallas_supported
+
+    assert pallas_supported(40, 40, 3)       # flagship MPC shape
+    assert pallas_supported(1000, 48, 3)     # bands stream: lx1 unbounded
+    assert not pallas_supported(5, 100, 3)   # ly1 row buffers would blow VMEM
+    assert not pallas_supported(40, 40, 4)   # wrong dyadic order
