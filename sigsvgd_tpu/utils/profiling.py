@@ -66,3 +66,45 @@ class SectionTimer:
                 self.totals.items(), key=lambda kv: -kv[1]
             )
         }
+
+
+def scan_time(fn, x, reps: int = 8) -> float:
+    """Trustworthy per-application wall time of ``fn`` on remote-dispatched
+    accelerators — seconds per application.
+
+    Three traps this layout avoids (each silently corrupts naive timings on
+    the remote-tunnel TPU runtime this framework was benchmarked on):
+
+    1. Host-side rep loops — even data-chained ones — measure per-dispatch
+       latency, not compute. Here ``reps`` applications run inside ONE
+       jitted ``lax.scan`` with a carried data dependency.
+    2. Repeating a call with the warmup's exact arguments can be served from
+       a remote memoization cache; the timed call uses a DIFFERENT input
+       than the compile/warmup call.
+    3. ``block_until_ready`` does not always bound completion; a host value
+       fetch does.
+
+    ``fn`` maps an array pytree-leaf-compatible input to any pytree.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    def body(z, _):
+        out = fn(z)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return z + 1e-30 * jnp.mean(leaf).astype(z.dtype), ()
+
+    run = jax.jit(lambda z: lax.scan(body, z, None, length=reps)[0])
+    float(run(x + 1.0).sum())  # compile + complete on a distinct input
+    t0 = time.perf_counter()
+    float(run(x).sum())
+    return (time.perf_counter() - t0) / reps
+
+
+def slope_time(fn, x, reps_lo: int = 2, reps_hi: int = 10) -> float:
+    """Per-application time via the two-length slope of :func:`scan_time`'s
+    program — also cancels the fixed dispatch/fetch overhead that a single
+    short scan would smear over its reps. Seconds per application."""
+    t_lo = scan_time(fn, x, reps=reps_lo) * reps_lo
+    t_hi = scan_time(fn, x, reps=reps_hi) * reps_hi
+    return (t_hi - t_lo) / (reps_hi - reps_lo)

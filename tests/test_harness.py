@@ -301,3 +301,30 @@ def test_live_figure_streams_png(tmp_path):
     assert len(fig._series[(0, "trace")]) == 50
     assert len(fig._series[(0, "loss")]) == 12
     fig.close()
+
+
+def test_scan_time_measures_real_work():
+    """scan_time / slope_time: reps run inside one jitted scan and the
+    result is value-fetched; the measured per-application time must scale
+    with the work (trap-free timing — see utils/profiling.py docstring)."""
+    import jax
+
+    from sigsvgd_tpu.utils.profiling import scan_time, slope_time
+
+    x = jnp.ones((256, 64))
+
+    def small(z):
+        return z * 2.0
+
+    def big(z):
+        m = z @ z.T
+        for _ in range(8):
+            m = jnp.tanh(m @ m) + 1e-3
+        return m
+
+    t_small = slope_time(small, x, reps_lo=2, reps_hi=12)
+    t_big = slope_time(big, x, reps_lo=2, reps_hi=12)
+    assert t_small >= 0.0
+    assert t_big > t_small  # more work must measure as more time
+    # scan_time at least runs and returns a sane positive wall time
+    assert scan_time(big, x, reps=4) > 0.0
