@@ -887,3 +887,76 @@ def test_closed_loop_control_mse_parity(ref, monkeypatch):
     state_mse = float(((ref_s - my_s) ** 2).mean())
     assert control_mse < 1e-6, (control_mse, ref_a, my_a)
     assert state_mse < 1e-5, (state_mse, ref_s, my_s)
+
+
+def test_closed_loop_autograd_path_parity(ref, monkeypatch):
+    """Step-locked closed-loop replay of the AUTODIFF likelihood path
+    (n_action_samples=0 — fully deterministic, so no sample injection is
+    needed): 4 pendulum MPC steps with 2 SVGD iterations per solve.
+
+    Expected deviation (asserted below): the reference evaluates the GMM
+    prior gradient at ``self.pol_mean`` (``dust.py:348-350``), which stays
+    frozen at the solve's INITIAL particles throughout ``SVGD.optimize``
+    (optimize works on a detached copy and writes back only at the end,
+    ``svgd.py:156``) — so from the second SVGD iteration on, its prior term
+    is stale. We evaluate the score at the CURRENT particles (the SVGD
+    update rule's definition). With the reference's prior evaluation
+    corrected to the current particles, the control sequences match step
+    for step; against the unpatched reference the difference is small but
+    real (~1e-3 control MSE over 4 steps)."""
+    import src.controllers.dust as rdust
+
+    n_steps = 4
+    rng = np.random.default_rng(53)
+    pol0 = rng.uniform(-1.5, 1.5, size=(_NPOL, _H, 1)).astype(np.float32)
+    state0 = np.array([np.pi / 2, 0.2], np.float32)
+
+    def run_ref():
+        rctrl, rmodel = _make_ref_dust(ref, 0, pol0)
+        rstate = t(state0)
+        acts = []
+        for _s in range(n_steps):
+            a_seq_ref, _ = rctrl.forward(rstate, rmodel, None, opt_steps=2)
+            rstate = rmodel.step(rstate[None], a_seq_ref[0:1][None])[0, 0]
+            acts.append(n(a_seq_ref[0]))
+        return np.stack(acts)
+
+    ref_stale = run_ref()
+
+    orig = rdust.DuSt._get_grad_log_p
+
+    def fresh_prior_grad(self, costs, actions):
+        # evaluate the prior gradient at the CURRENT particles (autograd
+        # path: actions IS the particle tensor), not the stale pol_mean
+        with torch.no_grad():
+            grad_pri = rdust.grad_gmm_log_p(self.prior, actions.detach())
+        log_lik = self.likelihood.log_p(costs)
+        grad_lik = torch.autograd.grad(
+            log_lik.sum(), actions, retain_graph=True
+        )[0]
+        return grad_pri + grad_lik, -log_lik
+
+    monkeypatch.setattr(rdust.DuSt, "_get_grad_log_p", fresh_prior_grad)
+    ref_fresh = run_ref()
+    monkeypatch.setattr(rdust.DuSt, "_get_grad_log_p", orig)
+
+    from sigsvgd_tpu.models.pendulum import PendulumModel
+
+    dust = _make_my_dust(0)
+    model = PendulumModel()
+    ctrl = dust.init(jax.random.PRNGKey(0), pol_mean=jnp.asarray(pol0))
+    state = jnp.asarray(state0)
+    mpc_keys = jax.random.split(jax.random.PRNGKey(29), n_steps)
+    my_actions = []
+    for s in range(n_steps):
+        a_seq, ctrl, _ = dust.forward(state, ctrl, None, mpc_keys[s],
+                                      opt_steps=2)
+        state = model.step(state[None], a_seq[0:1])[0]
+        my_actions.append(np.asarray(a_seq[0]))
+    my_a = np.stack(my_actions)
+
+    mse_fresh = float(((ref_fresh - my_a) ** 2).mean())
+    mse_stale = float(((ref_stale - my_a) ** 2).mean())
+    assert mse_fresh < 1e-6, (mse_fresh, ref_fresh, my_a)
+    # the stale-prior quirk is a real, expected difference
+    assert 1e-5 < mse_stale < 1e-1, mse_stale
