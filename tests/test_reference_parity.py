@@ -600,7 +600,7 @@ def _pend_cost_fns_jax():
     return inst, term
 
 
-def _make_ref_dust(ref, n_action_samples, pol0, lr=0.1):
+def _make_ref_dust(ref, n_action_samples, pol0, lr=0.1, roll='repeat'):
     import src.utils.spaces as rspaces
 
     rmodel = ref.pend.PendulumModel(uncertain_params=("g",))
@@ -629,7 +629,7 @@ def _make_ref_dust(ref, n_action_samples, pol0, lr=0.1):
         inst_cost_fn=inst,
         term_cost_fn=term,
         device="cpu",
-        roll_strategy="repeat",
+        roll_strategy=roll,
         optimizer_class=None,
         lr=lr,
     )
@@ -641,7 +641,7 @@ def _make_ref_dust(ref, n_action_samples, pol0, lr=0.1):
     return ctrl, rmodel
 
 
-def _make_my_dust(n_action_samples, lr=0.1):
+def _make_my_dust(n_action_samples, lr=0.1, roll='repeat'):
     from sigsvgd_tpu.controllers.dust import DuSt
     from sigsvgd_tpu.models.pendulum import PendulumModel
 
@@ -661,7 +661,7 @@ def _make_my_dust(n_action_samples, lr=0.1):
         stein_sampler="SVGD",
         optimizer=None,
         lr=lr,
-        roll_strategy="repeat",
+        roll_strategy=roll,
         inst_cost_fn=inst,
         term_cost_fn=term,
     )
@@ -889,7 +889,8 @@ def test_closed_loop_control_mse_parity(ref, monkeypatch):
     assert state_mse < 1e-5, (state_mse, ref_s, my_s)
 
 
-def test_closed_loop_autograd_path_parity(ref, monkeypatch):
+@pytest.mark.parametrize("roll", ["repeat", "mean"])
+def test_closed_loop_autograd_path_parity(ref, monkeypatch, roll):
     """Step-locked closed-loop replay of the AUTODIFF likelihood path
     (n_action_samples=0 — fully deterministic, so no sample injection is
     needed): 4 pendulum MPC steps with 2 SVGD iterations per solve.
@@ -912,7 +913,7 @@ def test_closed_loop_autograd_path_parity(ref, monkeypatch):
     state0 = np.array([np.pi / 2, 0.2], np.float32)
 
     def run_ref():
-        rctrl, rmodel = _make_ref_dust(ref, 0, pol0)
+        rctrl, rmodel = _make_ref_dust(ref, 0, pol0, roll=roll)
         rstate = t(state0)
         acts = []
         for _s in range(n_steps):
@@ -942,7 +943,7 @@ def test_closed_loop_autograd_path_parity(ref, monkeypatch):
 
     from sigsvgd_tpu.models.pendulum import PendulumModel
 
-    dust = _make_my_dust(0)
+    dust = _make_my_dust(0, roll=roll)
     model = PendulumModel()
     ctrl = dust.init(jax.random.PRNGKey(0), pol_mean=jnp.asarray(pol0))
     state = jnp.asarray(state0)
