@@ -322,9 +322,10 @@ def test_scan_time_measures_real_work():
             m = jnp.tanh(m @ m) + 1e-3
         return m
 
+    # the trivial fn's slope can wobble around zero under CPU load — the
+    # robust property is the ~1000x-work fn measuring clearly slower
     t_small = slope_time(small, x, reps_lo=2, reps_hi=12)
     t_big = slope_time(big, x, reps_lo=2, reps_hi=12)
-    assert t_small >= 0.0
-    assert t_big > t_small  # more work must measure as more time
+    assert t_big > max(t_small, 0.0)  # more work must measure as more time
     # scan_time at least runs and returns a sane positive wall time
     assert scan_time(big, x, reps=4) > 0.0
