@@ -341,12 +341,16 @@ class ScaledSVGD(SVGD):
             )
         n = x.shape[0]
         s = _flat(score.grad_log_p)
+        # the GN metric is built from the LIKELIHOOD score only; the prior
+        # gradient joins the score after (reference ordering, svgd.py:212 vs
+        # :238-243 — the prior is added below the metric construction)
+        # ddof=1: the reference's eps = X.var() is torch's UNBIASED variance
+        eps = jnp.var(_flat(x), ddof=1)
+        m = 2.0 * jnp.mean(s[:, :, None] * s[:, None, :], axis=0)
+        m = m + eps * jnp.eye(m.shape[-1], dtype=m.dtype)
         if self.log_prior is not None:
             prior_grad = jax.grad(lambda xx: jnp.sum(self.log_prior(xx)))(x)
             s = s + _flat(prior_grad)
-        eps = jnp.var(_flat(x))
-        m = 2.0 * jnp.mean(s[:, :, None] * s[:, None, :], axis=0)
-        m = m + eps * jnp.eye(m.shape[-1], dtype=m.dtype)
 
         k_xx, grad_k = self.kernel(_flat(x), _flat(x), M=m)
         if self.repulsion_schedule is not None:

@@ -961,3 +961,71 @@ def test_closed_loop_autograd_path_parity(ref, monkeypatch, roll):
     assert mse_fresh < 1e-6, (mse_fresh, ref_fresh, my_a)
     # the stale-prior quirk is a real, expected difference
     assert 1e-5 < mse_stale < 1e-1, mse_stale
+
+
+def test_scaled_svgd_velocity_parity(ref, data):
+    """ScaledSVGD (GaussNewton metric) velocity on fixed particles + score —
+    with and without preconditioning and with a log_prior. The reference
+    builds the GN metric from the LIKELIHOOD score only and adds the prior
+    gradient afterwards (svgd.py:212 vs :238-243); the metric uses
+    eps = var(X) regularization.
+
+    Reference bug worked around by a shim (not replicated here): its scaled
+    kernels return the kernel gradient ALREADY aggregated over the second
+    argument (``_kernels.py:185`` ``d_K.sum(1)``), and ``ScaledSVGD._velocity``
+    aggregates again (``svgd.py:230`` ``grad_k.sum(1)``) — so the reference's
+    analytic ScaledSVGD path crashes on a shape error as shipped. The shim
+    re-inserts a singleton axis so the double aggregation is the identity,
+    recovering the intended math, which this implementation matches."""
+    import torch
+
+    from sigsvgd_tpu.inference.svgd import ScaledSVGD, ScoreResult
+    from sigsvgd_tpu.kernels.rbf import ScaledGaussianKernel
+
+    score = np.random.default_rng(31).normal(size=data.X.shape).astype(np.float32)
+
+    def prior_t(x):
+        return -0.05 * (x**2).sum(-1)
+
+    def prior_j(x):
+        return -0.05 * jnp.sum(x**2, axis=-1)
+
+    class _Shim:
+        # undoes the reference's double aggregation (see docstring)
+        analytic_grad = True
+
+        def __init__(self, k):
+            self.k = k
+
+        def __call__(self, X, Y, M=None, compute_grad=True):
+            if not compute_grad:
+                return self.k(X, Y, M=M, compute_grad=False)
+            K, dK = self.k(X, Y, M=M)
+            return K, dK.unsqueeze(1)
+
+    for precondition in (True, False):
+        for with_prior in (False, True):
+            rs = ref.svgd.ScaledSVGD(
+                kernel=_Shim(_ref_kernel(ref, "ScaledGaussianKernel")),
+                log_prior=prior_t if with_prior else None,
+                optimizer_class=None,
+                precondition=precondition,
+                lr=0.1,
+            )
+            (want,), _itd = rs._velocity(t(data.X), t(score))
+
+            mine = ScaledSVGD(
+                kernel=ScaledGaussianKernel(),
+                log_prior=prior_j if with_prior else None,
+                precondition=precondition,
+            )
+            phi, _ = mine.velocity(
+                jnp.asarray(data.X),
+                ScoreResult(grad_log_p=jnp.asarray(score), loss=None,
+                            k_xx=None, grad_k=None, aux=None),
+                step=jnp.zeros((), jnp.int32),
+            )
+            np.testing.assert_allclose(
+                np.asarray(phi), -n(want), rtol=2e-4, atol=2e-4,
+                err_msg=f"precondition={precondition} prior={with_prior}",
+            )
