@@ -293,20 +293,17 @@ class DuSt:
 
         ref = lax.stop_gradient(self._tau(trajs))
         if self.kernel_mode == "signature":
-            # one rollout + Gram forward shared between K and its pull-back
-            # gradient (value_and_grad with the Gram as aux — gram/grad each
-            # being solved separately doubles the dominant PDE cost). The
-            # symmetric upper-triangle Gram halves the PDE work again; its
-            # gradient flows through both kernel arguments, so ×0.5 recovers
-            # the detached-second-argument repulsion (sigkernel.gram_sym).
-            def gram_sum(pm):
-                k = self.sig_kernel.gram_sym(tau_of(pm))
-                return jnp.sum(k), k
-
-            (_, k_xx), grad_k = jax.value_and_grad(gram_sum, has_aux=True)(
-                pol_mean
-            )
-            return k_xx, 0.5 * grad_k
+            # one rollout + ONE PDE forward shared between K and its
+            # pull-back gradient: gram_and_grad fuses value+vjp per pair
+            # chunk with the a-priori Σ-cotangent (upper-triangle Gram =
+            # half the PDE work; its gradient flows through both kernel
+            # arguments and gram_and_grad folds in the ×0.5 that recovers
+            # the detached-second-argument repulsion). The trajectory
+            # pull-back τ → policies is chained via the rollout's vjp.
+            tau, vjp_tau = jax.vjp(tau_of, pol_mean)
+            k_xx, dtau = self.sig_kernel.gram_and_grad(tau)
+            (grad_k,) = vjp_tau(dtau)
+            return k_xx, grad_k
         if self.kernel_mode == "trajectory":
             # per-dimension RBF on trajectory projections, grads via AD
             # (trajectory_svgd.py:32-47)

@@ -664,21 +664,30 @@ class SignatureKernel:
         d2s = _pair_sq_dists(X[:ns], Y[:ms])
         return self._bandwidth_from(d2s.reshape(ns, -1), X.dtype)
 
-    def _pair_values(self, X, Y, ix, iy, h) -> jax.Array:
-        """Signature-kernel values for an explicit pair list ``(ix, iy)``
-        (padded to a chunk multiple): gathers path pairs block-by-block,
-        computes the static Gram, increments, and PDE solve per block under
-        ``jax.checkpoint`` (backward recomputes the O(block·L²) statics
-        instead of storing them for every pair)."""
-        lx1, ly1 = X.shape[1] - 1, Y.shape[1] - 1
-        total = ix.shape[0]
-        # never pad a small pair list up to the memory-budget chunk size
+    def _chunk_plan(self, lx1: int, ly1: int, total: int):
+        """(solver kind, pair-chunk size, chunk count) for ``total`` pairs.
+        Never pads a small pair list up to the memory-budget chunk size; the
+        Pallas pipeline wants whole [16, 128] pair tiles per block."""
+        kind = self._solver_kind(lx1, ly1)
         chunk = min(self._auto_chunk(lx1, ly1), total)
-        nb = -(-total // chunk)
-        pad = nb * chunk - total
-        if pad:
-            ix = jnp.concatenate([ix, jnp.zeros((pad,), ix.dtype)])
-            iy = jnp.concatenate([iy, jnp.zeros((pad,), iy.dtype)])
+        if kind == "pallas":
+            from .pallas_sigkernel import _P as _TILE
+
+            chunk = -(-chunk // _TILE) * _TILE
+        return kind, chunk, -(-total // chunk)
+
+    def _block_values(self, X, Y, ixc, iyc, h, kind, chunk) -> jax.Array:
+        """PDE kernel values for one pair chunk ``(ixc, iyc)``: gather paths,
+        static Gram, increments, solve. For the Pallas solver the statics are
+        computed directly in the kernel's pair-tile layout — no [chunk, L, L]
+        tensors (whose (8,128) trailing-dim tiling bloats a 41×41 grid 3.7×)
+        and no pair-major → tile transpose."""
+        if kind == "pallas":
+            from .pallas_sigkernel import pallas_pair_values
+
+            return pallas_pair_values(
+                X, Y, ixc, iyc, None if self.static == "linear" else h
+            )
 
         # trajectory channel counts are tiny (2-7): a [c,p,2]x[c,q,2]
         # batched einsum pads its contraction dim onto the MXU; an unrolled
@@ -689,23 +698,45 @@ class SignatureKernel:
                 for k in range(xc.shape[-1])
             )
 
+        xc, yc = X[ixc], Y[iyc]  # [c, L, C]
+        if self.static == "linear":
+            g = _cross(xc, yc)
+        else:
+            xn = jnp.sum(xc * xc, axis=-1)
+            yn = jnp.sum(yc * yc, axis=-1)
+            d2 = jnp.maximum(
+                xn[:, :, None] + yn[:, None, :] - 2.0 * _cross(xc, yc), 0.0
+            )
+            g = jnp.exp(-d2 / h)
+        inc = gram_increments(g)
+        return self._solve(inc, chunk)
+
+    @staticmethod
+    def _pad_pair_list(arrays, nb, chunk, total):
+        pad = nb * chunk - total
+        if pad:
+            arrays = [
+                jnp.concatenate([a, jnp.zeros((pad,), a.dtype)]) for a in arrays
+            ]
+        return [a.reshape(nb, chunk) for a in arrays]
+
+    def _pair_values(self, X, Y, ix, iy, h) -> jax.Array:
+        """Signature-kernel values for an explicit pair list ``(ix, iy)``:
+        per-chunk statics + PDE solve under ``jax.checkpoint`` (backward
+        recomputes the O(block·L²) statics instead of storing them for every
+        pair). Value-oriented path — when the pull-back gradient is wanted
+        too, :meth:`gram_and_grad` fuses value+vjp per chunk instead (one
+        PDE forward rather than the checkpoint's two)."""
+        lx1, ly1 = X.shape[1] - 1, Y.shape[1] - 1
+        total = ix.shape[0]
+        kind, chunk, nb = self._chunk_plan(lx1, ly1, total)
+        ix, iy = self._pad_pair_list([ix, iy], nb, chunk, total)
+
         @jax.checkpoint
         def block(ab):
-            ixc, iyc = ab
-            xc, yc = X[ixc], Y[iyc]  # [c, L, C]
-            if self.static == "linear":
-                g = _cross(xc, yc)
-            else:
-                xn = jnp.sum(xc * xc, axis=-1)
-                yn = jnp.sum(yc * yc, axis=-1)
-                d2 = jnp.maximum(
-                    xn[:, :, None] + yn[:, None, :] - 2.0 * _cross(xc, yc), 0.0
-                )
-                g = jnp.exp(-d2 / h)
-            inc = gram_increments(g)
-            return self._solve(inc, chunk)
+            return self._block_values(X, Y, ab[0], ab[1], h, kind, chunk)
 
-        out = lax.map(block, (ix.reshape(nb, chunk), iy.reshape(nb, chunk)))
+        out = lax.map(block, (ix, iy))
         return out.reshape(-1)[:total]
 
     def _gram_chunked_pairs(self, X: jax.Array, Y: jax.Array) -> jax.Array:
@@ -737,16 +768,37 @@ class SignatureKernel:
         """``(K, ∂ΣK/∂X)`` with the second argument detached — the quantity
         TrajectorySVGD consumes (``trajectory_svgd.py:55-69``).
 
-        Computed from the upper-triangle pairs only (:meth:`gram_sym`): by
-        the kernel's symmetry ``Σ_j ∂₁k(x_i, x_j) = ½ ∂/∂x_i Σ_{jl} k(x_j,
-        x_l)``, so one ~half-size PDE solve yields both K and the detached-
-        second-argument gradient.
+        Computed from the upper-triangle pairs only: by the kernel's symmetry
+        ``Σ_j ∂₁k(x_i, x_j) = ½ ∂/∂x_i Σ_{jl} k(x_j, x_l)``, so one
+        ~half-size PDE solve yields both K and the detached-second-argument
+        gradient.
+
+        The cotangent of ``Σ_{jl} K`` w.r.t. the triangle values is known a
+        priori (2 off-diagonal, 1 diagonal), so each pair chunk runs ONE
+        ``jax.vjp`` — forward with residuals, immediate backward, residuals
+        freed before the next chunk. ``gram_sym`` under an outer
+        ``value_and_grad`` would instead run the PDE forward twice per chunk
+        (once for the value pass, once rematerialised by ``jax.checkpoint``
+        for the backward) — ~20% more wall-clock at the flagship MPC shape.
         """
+        n, L = X.shape[0], X.shape[1]
+        lx1 = ly1 = L - 1
+        iu, ju = jnp.triu_indices(n)
+        h = self._subsampled_bandwidth(X, X)
+        total = iu.shape[0]
+        kind, chunk, nb = self._chunk_plan(lx1, ly1, total)
+        seed = jnp.where(iu == ju, 1.0, 2.0).astype(X.dtype)
+        ix, iy, sc = self._pad_pair_list([iu, ju, seed], nb, chunk, total)
 
-        def total(x):
-            k = self.gram_sym(x)
-            return jnp.sum(k), k
+        def one_chunk(dX, inp):
+            ixc, iyc, seedc = inp
+            vals, vjp = jax.vjp(
+                lambda x: self._block_values(x, x, ixc, iyc, h, kind, chunk), X
+            )
+            (dc,) = vjp(seedc)
+            return dX + dc, vals
 
-        # one PDE solve (forward shared between the Gram and its gradient)
-        (_, k), dk = jax.value_and_grad(total, has_aux=True)(X)
-        return k, 0.5 * dk
+        dX, vals = lax.scan(one_chunk, jnp.zeros_like(X), (ix, iy, sc))
+        vals = vals.reshape(-1)[:total]
+        K = jnp.zeros((n, n), X.dtype).at[iu, ju].set(vals)
+        return K + jnp.triu(K, 1).T, 0.5 * dX
