@@ -75,12 +75,18 @@ def main():
     chunk = auto_chunk(L - 1, L - 1, 3)
     # note: no nested jax.jit around fn — _bench jits the whole scan, and a
     # nested jit inside the scanned body has crashed the device runtime
-    for name, fwd in (
-        ("pallas dyadic-3", lambda z: solve_goursat_pde_pallas(z, 3)),
-        ("xla-scan dyadic-3", lambda z: solve_goursat_pde(z, 3, chunk)),
+    for name, fwd, slow in (
+        ("pallas dyadic-3", lambda z: solve_goursat_pde_pallas(z, 3), False),
+        ("xla-scan dyadic-3", lambda z: solve_goursat_pde(z, 3, chunk), True),
     ):
-        report(name, "fwd", B, _bench(fwd, inc, reps=args.reps))
-        report(name, "fwd+bwd", B, _bench(jax.grad(loss(fwd)), inc, reps=args.reps))
+        # the wavefront adjoint runs ~90 µs/pair: at 131k pairs a full-reps
+        # chained scan is a single >1-minute device dispatch, which the
+        # remote-execution tunnel kills (surfaces as a TPU worker crash).
+        # Cap the slow cases' single-dispatch length; per-pair numbers are
+        # batch-linear there so the smaller batch is representative.
+        bs, reps = (min(B, 16384), 2) if slow else (B, args.reps)
+        report(name, "fwd", bs, _bench(fwd, inc[:bs], reps=args.reps))
+        report(name, "fwd+bwd", bs, _bench(jax.grad(loss(fwd)), inc[:bs], reps=reps))
 
     # planning shape: 5-knot paths, dyadic 6 -> MXU block-propagator
     inc6 = jax.random.normal(key, (B, 4, 4), jnp.float32) * 0.3

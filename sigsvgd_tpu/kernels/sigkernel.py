@@ -664,6 +664,25 @@ class SignatureKernel:
         d2s = _pair_sq_dists(X[:ns], Y[:ms])
         return self._bandwidth_from(d2s.reshape(ns, -1), X.dtype)
 
+    def _dense_grad_ok(self, n: int, lx1: int) -> bool:
+        """Whether :meth:`gram_and_grad` should use the dense full-Gram route.
+
+        Only for the MXU block-propagator (short paths, dyadic ≥ 4): its
+        plain-AD backward stores each block hop's input row as a residual, so
+        the dense route is admissible only while ``n² · hops · (2m+1)``
+        floats (~1.5× headroom) fit comfortably in HBM. The Pallas/wavefront
+        shapes (long paths) stay on the gathered-pair route, which is not
+        bloat-bound there."""
+        if self._solver_kind(lx1, lx1) != "mxu":
+            return False
+        if n * n * (lx1 + 1) ** 2 > self._DENSE_LIMIT:
+            return False
+        m = min(64, 1 << self.dyadic_order)
+        sub = (1 << self.dyadic_order) // m
+        hops = (lx1 * sub) ** 2
+        resid = n * n * hops * (2 * m + 1) * 4 * 1.5
+        return resid <= 3.5e9
+
     def _chunk_plan(self, lx1: int, ly1: int, total: int):
         """(solver kind, pair-chunk size, chunk count) for ``total`` pairs.
         Never pads a small pair list up to the memory-budget chunk size; the
@@ -780,9 +799,25 @@ class SignatureKernel:
         ``value_and_grad`` would instead run the PDE forward twice per chunk
         (once for the value pass, once rematerialised by ``jax.checkpoint``
         for the backward) — ~20% more wall-clock at the flagship MPC shape.
+
+        Short paths (the planning knot shape: L=3, dyadic 6) take a DENSE
+        route instead: per-pair gathers of [pairs, L, L] statics are
+        pathological there — the (8, 128) trailing-dim tiling turns 36
+        logical bytes/pair into a 4 KB tile, and the gather's backward is a
+        pair-count-sized scatter-add (~1 s at 10⁶ pairs on TPU). Computing
+        the FULL n×n Gram densely costs 2× the PDE work of the upper
+        triangle but zero gather/scatter — statics and their AD are plain
+        einsums. Measured at [1024, 3, 7]/dyadic 6: 1.17 s → ~0.16 s.
         """
         n, L = X.shape[0], X.shape[1]
         lx1 = ly1 = L - 1
+        if self._dense_grad_ok(n, lx1):
+            def total(x):
+                k = self.gram(x, lax.stop_gradient(x))
+                return jnp.sum(k), k
+
+            (_, K), dX = jax.value_and_grad(total, has_aux=True)(X)
+            return K, dX
         iu, ju = jnp.triu_indices(n)
         h = self._subsampled_bandwidth(X, X)
         total = iu.shape[0]

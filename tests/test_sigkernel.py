@@ -260,3 +260,23 @@ def test_auto_chunk_is_solver_aware():
     wave = SignatureKernel(dyadic_order=6, bandwidth=1.5, solver="wavefront")
     assert wave._solver_kind(4, 4) == "wavefront"
     assert wave._auto_chunk(4, 4) == auto_chunk(4, 4, 6)
+
+
+def test_gram_and_grad_dense_route_matches_pair_route(rng, monkeypatch):
+    """Short-path (MXU-eligible) gram_and_grad takes the dense full-Gram
+    route; it must agree with the gathered-pair route (the general path) in
+    values and pull-back gradient."""
+    paths = jnp.asarray(rng.standard_normal((6, 3, 7)).astype(np.float32) * 0.5)
+    kern = SignatureKernel(dyadic_order=6, bandwidth=1.5)
+    assert kern._dense_grad_ok(paths.shape[0], paths.shape[1] - 1)
+    k_d, dk_d = kern.gram_and_grad(paths)
+
+    monkeypatch.setattr(SignatureKernel, "_dense_grad_ok",
+                        lambda self, n, lx1: False)
+    k_p, dk_p = kern.gram_and_grad(paths)
+    np.testing.assert_allclose(np.asarray(k_d), np.asarray(k_p), rtol=2e-5,
+                               atol=1e-6)
+    scale = np.abs(np.asarray(dk_p)).max()
+    np.testing.assert_allclose(
+        np.asarray(dk_d) / scale, np.asarray(dk_p) / scale, atol=1e-4
+    )
