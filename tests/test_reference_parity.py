@@ -600,13 +600,22 @@ def _pend_cost_fns_jax():
     return inst, term
 
 
-def _make_ref_dust(ref, n_action_samples, pol0, lr=0.1, roll='repeat'):
+def _make_ref_dust(ref, n_action_samples, pol0, lr=0.1, roll='repeat',
+                   kernel_mode='trajectory'):
     import src.utils.spaces as rspaces
 
     rmodel = ref.pend.PendulumModel(uncertain_params=("g",))
     inst, term = _pend_cost_fns_torch()
     import src.controllers.dust as rdust
 
+    if kernel_mode == 'policy':
+        # a plain analytic kernel on the flattened policies: TrajectorySVGD's
+        # `analytic_grad` fallback branch (trajectory_svgd.py:70-73)
+        kern = ref.kern.GaussianKernel(bandwidth_fn=lambda d2: torch.tensor(0.7))
+    else:
+        kern = __import__(
+            "src.kernels._traj_kernels", fromlist=["TrajectoryKernel"]
+        ).TrajectoryKernel(bandwidth_fn=lambda d2: torch.tensor(0.7))
     ctrl = rdust.DuSt(
         observation_space=rspaces.Box(
             dim=2, low=-torch.tensor([1e6, 8.0]), high=torch.tensor([1e6, 8.0]),
@@ -622,9 +631,7 @@ def _make_ref_dust(ref, n_action_samples, pol0, lr=0.1, roll='repeat'):
         # fixed bandwidth: the median heuristic's subgradient lands on ONE of
         # the two tied symmetric Gram entries, and torch/jax break that tie
         # differently — a fixed h makes the kernel gradient deterministic
-        kernel=__import__(
-            "src.kernels._traj_kernels", fromlist=["TrajectoryKernel"]
-        ).TrajectoryKernel(bandwidth_fn=lambda d2: torch.tensor(0.7)),
+        kernel=kern,
         temperature=0.5,
         inst_cost_fn=inst,
         term_cost_fn=term,
@@ -641,7 +648,8 @@ def _make_ref_dust(ref, n_action_samples, pol0, lr=0.1, roll='repeat'):
     return ctrl, rmodel
 
 
-def _make_my_dust(n_action_samples, lr=0.1, roll='repeat'):
+def _make_my_dust(n_action_samples, lr=0.1, roll='repeat',
+                  kernel_mode='trajectory'):
     from sigsvgd_tpu.controllers.dust import DuSt
     from sigsvgd_tpu.models.pendulum import PendulumModel
 
@@ -656,7 +664,7 @@ def _make_my_dust(n_action_samples, lr=0.1, roll='repeat'):
         n_params_samples=0,
         temperature=0.5,
         pol_hyper_prior=False,
-        kernel_mode="trajectory",
+        kernel_mode=kernel_mode,
         kernel=GaussianKernel(bandwidth_fn=lambda d2: 0.7),
         stein_sampler="SVGD",
         optimizer=None,
@@ -961,6 +969,170 @@ def test_closed_loop_autograd_path_parity(ref, monkeypatch, roll):
     assert mse_fresh < 1e-6, (mse_fresh, ref_fresh, my_a)
     # the stale-prior quirk is a real, expected difference
     assert 1e-5 < mse_stale < 1e-1, mse_stale
+
+
+def _patch_fresh_prior(monkeypatch, rdust):
+    """Patch the reference's documented stale-prior quirk (see
+    test_closed_loop_autograd_path_parity): evaluate the GMM prior gradient
+    at the CURRENT particles so both sides implement the same update rule."""
+
+    def fresh_prior_grad(self, costs, actions):
+        with torch.no_grad():
+            grad_pri = rdust.grad_gmm_log_p(self.prior, actions.detach())
+        log_lik = self.likelihood.log_p(costs)
+        grad_lik = torch.autograd.grad(
+            log_lik.sum(), actions, retain_graph=True
+        )[0]
+        return grad_pri + grad_lik, -log_lik
+
+    monkeypatch.setattr(rdust.DuSt, "_get_grad_log_p", fresh_prior_grad)
+
+
+def test_closed_loop_policy_kernel_parity(ref, monkeypatch):
+    """Step-locked closed-loop replay of the POLICY-space kernel mode: the
+    reference runs a plain analytic GaussianKernel on the flattened policy
+    particles (TrajectorySVGD's ``analytic_grad`` fallback,
+    ``trajectory_svgd.py:70-73``); ours is ``kernel_mode="policy"``.
+    Autodiff likelihood path (deterministic), 4 MPC steps × 2 SVGD
+    iterations, repeat roll.
+
+    REFERENCE BUG (asserted below): the fallback does ``grad_k.sum(1)`` on a
+    kernel gradient the analytic kernels ALREADY aggregate over their second
+    argument (``_kernels.py:64-115`` return dK as [n, d]) — so DuSt with a
+    plain kernel crashes upstream with a shape error. We patch the branch to
+    consume (K, dK) as returned — the vanilla-SVGD semantics
+    (``svgd.py:46-91``) the fallback clearly intends — and replay against
+    that."""
+    import src.controllers.dust as rdust
+    import src.inference.trajectory_svgd as rtsvgd
+
+    n_steps = 4
+    rng = np.random.default_rng(61)
+    pol0 = rng.uniform(-1.5, 1.5, size=(_NPOL, _H, 1)).astype(np.float32)
+    state0 = np.array([np.pi / 2, 0.2], np.float32)
+
+    _patch_fresh_prior(monkeypatch, rdust)
+    rctrl, rmodel = _make_ref_dust(ref, 0, pol0, kernel_mode="policy")
+    rstate = t(state0)
+
+    with pytest.raises(RuntimeError, match="must match"):
+        rctrl.forward(rstate, rmodel, None, opt_steps=1)
+
+    def fixed_compute_kernel(self, X, **kwargs):
+        k_xx, grad_k = self.kernel(X, X)
+        return k_xx.detach(), grad_k.detach()
+
+    monkeypatch.setattr(
+        rtsvgd.TrajectorySVGD, "_compute_kernel", fixed_compute_kernel
+    )
+    rctrl, rmodel = _make_ref_dust(ref, 0, pol0, kernel_mode="policy")
+    ref_actions = []
+    for _s in range(n_steps):
+        a_seq_ref, _ = rctrl.forward(rstate, rmodel, None, opt_steps=2)
+        rstate = rmodel.step(rstate[None], a_seq_ref[0:1][None])[0, 0]
+        ref_actions.append(n(a_seq_ref[0]))
+
+    from sigsvgd_tpu.models.pendulum import PendulumModel
+
+    dust = _make_my_dust(0, kernel_mode="policy")
+    model = PendulumModel()
+    ctrl = dust.init(jax.random.PRNGKey(0), pol_mean=jnp.asarray(pol0))
+    state = jnp.asarray(state0)
+    mpc_keys = jax.random.split(jax.random.PRNGKey(31), n_steps)
+    my_actions = []
+    for s in range(n_steps):
+        a_seq, ctrl, _ = dust.forward(state, ctrl, None, mpc_keys[s],
+                                      opt_steps=2)
+        state = model.step(state[None], a_seq[0:1])[0]
+        my_actions.append(np.asarray(a_seq[0]))
+
+    mse = float(((np.stack(ref_actions) - np.stack(my_actions)) ** 2).mean())
+    assert mse < 1e-6, (mse, np.stack(ref_actions), np.stack(my_actions))
+
+
+def test_closed_loop_resample_roll_parity(ref, monkeypatch):
+    """Step-locked closed-loop replay of the RESAMPLE roll strategy
+    (``dust.py:433-437``): the horizon shift's last action is drawn from the
+    policy GMM prior. The same draws are injected on both sides (the prior
+    itself is rebuilt deterministically from the rolled particles each
+    step, so injected draws keep the loops step-locked).
+
+    REFERENCE BUG (asserted below): ``DuSt.roll(strategy="resample")`` reads
+    ``self.n_particles`` (``dust.py:437``), an attribute DuSt never defines
+    (the policy count is ``n_pol``) — the strategy crashes upstream with an
+    AttributeError. We patch ``roll`` with the attribute corrected and
+    replay against that."""
+    import src.controllers.dust as rdust
+    from sigsvgd_tpu.controllers import dust as my_dust_mod
+
+    n_steps = 4
+    rng = np.random.default_rng(67)
+    pol0 = rng.uniform(-1.5, 1.5, size=(_NPOL, _H, 1)).astype(np.float32)
+    state0 = np.array([np.pi / 2, 0.2], np.float32)
+    draw_queue = [
+        rng.uniform(-1.0, 1.0, size=(_NPOL, _H, 1)).astype(np.float32)
+        for _ in range(n_steps)
+    ]
+
+    _patch_fresh_prior(monkeypatch, rdust)
+    ref_i = {"i": 0}
+
+    def ref_sample(self, sample_shape=torch.Size()):
+        v = draw_queue[ref_i["i"]]
+        ref_i["i"] += 1
+        return t(v)
+
+    monkeypatch.setattr(
+        torch.distributions.MixtureSameFamily, "sample", ref_sample
+    )
+
+    rctrl, rmodel = _make_ref_dust(ref, 0, pol0, roll="resample")
+    rstate = t(state0)
+    with pytest.raises(AttributeError, match="n_particles"):
+        rctrl.forward(rstate, rmodel, None, opt_steps=1)
+
+    def fixed_roll(self, steps=-1, strategy="repeat"):
+        self.pol_mean = self.pol_mean.roll(steps, dims=-2)
+        self.pol_mean[..., -1, :] = self.prior.sample([self.n_pol])[..., -1, :]
+
+    monkeypatch.setattr(rdust.DuSt, "roll", fixed_roll)
+    ref_i["i"] = 0
+    rctrl, rmodel = _make_ref_dust(ref, 0, pol0, roll="resample")
+    rstate = t(state0)
+    ref_actions = []
+    for _s in range(n_steps):
+        a_seq_ref, _ = rctrl.forward(rstate, rmodel, None, opt_steps=2)
+        rstate = rmodel.step(rstate[None], a_seq_ref[0:1][None])[0, 0]
+        ref_actions.append(n(a_seq_ref[0]))
+
+    my_i = {"i": 0}
+    orig_sample = my_dust_mod.du.sample
+
+    def my_sample(dist, key, shape):
+        v = draw_queue[my_i["i"]]
+        my_i["i"] += 1
+        return jnp.asarray(v).reshape(shape[0], -1)
+
+    monkeypatch.setattr(my_dust_mod.du, "sample", my_sample)
+    try:
+        from sigsvgd_tpu.models.pendulum import PendulumModel
+
+        dust = _make_my_dust(0, roll="resample")
+        model = PendulumModel()
+        ctrl = dust.init(jax.random.PRNGKey(0), pol_mean=jnp.asarray(pol0))
+        state = jnp.asarray(state0)
+        mpc_keys = jax.random.split(jax.random.PRNGKey(37), n_steps)
+        my_actions = []
+        for s in range(n_steps):
+            a_seq, ctrl, _ = dust.forward(state, ctrl, None, mpc_keys[s],
+                                          opt_steps=2)
+            state = model.step(state[None], a_seq[0:1])[0]
+            my_actions.append(np.asarray(a_seq[0]))
+    finally:
+        monkeypatch.setattr(my_dust_mod.du, "sample", orig_sample)
+
+    mse = float(((np.stack(ref_actions) - np.stack(my_actions)) ** 2).mean())
+    assert mse < 1e-6, (mse, np.stack(ref_actions), np.stack(my_actions))
 
 
 def test_scaled_svgd_velocity_parity(ref, data):
