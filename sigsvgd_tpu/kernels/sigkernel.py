@@ -556,17 +556,34 @@ class SignatureKernel:
     # "auto" picks the fastest valid solver: the MXU block-propagator for
     # dyadic_order ≥ 4 (block edges are MXU-sized), the VMEM-resident Pallas
     # row sweep for lower orders on TPU, and the XLA wavefront elsewhere
-    solver: str = "auto"  # auto | wavefront | mxu | pallas
+    solver: str = "auto"  # auto | wavefront | mxu | mxu_pallas | pallas
     mxu_degree: int = 10
     # MXU pass count for the fp32 block matmuls: "highest" (6-pass, fp64-like
     # 1e-7 error vs the oracle), "high" (3-pass, ~1e-6) or "default"
-    # (1-pass bf16, ~1e-3 — SVGD-grade only). Tests pin "highest".
+    # (1-pass bf16, ~1e-3 — SVGD-grade; measured to leave planning outcomes
+    # unchanged). On TPU, "default" at dyadic ≥ 6 dispatches to the Pallas
+    # hop-chain kernel (pallas_mxu_chain.py). Tests pin "highest".
     mxu_precision: str = "highest"
 
     def _solver_kind(self, lx1: int, ly1: int) -> str:
+        if self.solver == "mxu_pallas":
+            return "mxu_pallas"
         if self.solver == "mxu" or (
             self.solver == "auto" and _mxu_eligible(lx1, ly1, self.dyadic_order)
         ):
+            from .pallas_mxu_chain import chain_supported
+
+            # at bf16 ("default") precision the VMEM-resident Pallas hop
+            # chain is strictly faster than the XLA block-propagator (its
+            # custom adjoint stores no residuals; 137.6 -> 33.5 ms fwd+bwd
+            # per 10^6 pairs at the planning shape); the 3/6-pass fp32
+            # precisions stay on the XLA path
+            if (
+                self.mxu_precision == "default"
+                and chain_supported(lx1, ly1, self.dyadic_order)
+                and jax.default_backend() == "tpu"
+            ):
+                return "mxu_pallas"
             return "mxu"
         from .pallas_sigkernel import pallas_supported
 
@@ -580,6 +597,12 @@ class SignatureKernel:
     def _solve(self, inc: jax.Array, chunk: int) -> jax.Array:
         lx1, ly1 = inc.shape[-2], inc.shape[-1]
         kind = self._solver_kind(lx1, ly1)
+        if kind == "mxu_pallas":
+            from .pallas_mxu_chain import solve_goursat_pde_mxu_pallas
+
+            return solve_goursat_pde_mxu_pallas(
+                inc, self.dyadic_order, self.mxu_degree
+            )
         if kind == "mxu":
             return solve_goursat_pde_mxu(
                 inc, self.dyadic_order, self.mxu_degree,
@@ -601,7 +624,12 @@ class SignatureKernel:
         better-utilized kernel launches for the same memory budget."""
         lam = self.dyadic_order
         kind = self._solver_kind(lx1, ly1)
-        if kind == "mxu":
+        if kind == "mxu_pallas":
+            # no residuals and a VMEM-resident adjoint: the only per-pair
+            # HBM state is z/dz (packed in the [nt, nc, 1, P] tile layout)
+            # plus transient lane-padded [B, nc] relayout temps (512 B/pair)
+            per_pair = 4 * 2 * (128 + 2 * lx1 * ly1)
+        elif kind == "mxu":
             m = min(64, 1 << lam)
             sub = (1 << lam) // m
             nbx, nby = lx1 * sub, ly1 * sub
@@ -673,10 +701,17 @@ class SignatureKernel:
         floats (~1.5× headroom) fit comfortably in HBM. The Pallas/wavefront
         shapes (long paths) stay on the gathered-pair route, which is not
         bloat-bound there."""
-        if self._solver_kind(lx1, lx1) != "mxu":
+        kind = self._solver_kind(lx1, lx1)
+        if kind not in ("mxu", "mxu_pallas"):
             return False
         if n * n * (lx1 + 1) ** 2 > self._DENSE_LIMIT:
             return False
+        if kind == "mxu_pallas":
+            # custom-VJP kernel stores no residuals; the dense route is
+            # bounded only by the lane-padded z/dz relayout temps — a
+            # [B, nc] array tiles to 128 lanes regardless of nc, i.e.
+            # 512 B/pair each for z and dz
+            return n * n * 128 * 4 * 2 <= 3.5e9
         m = min(64, 1 << self.dyadic_order)
         sub = (1 << self.dyadic_order) // m
         hops = (lx1 * sub) ** 2
