@@ -59,7 +59,7 @@ class PandaMeshVerifier:
             if mpath.startswith("package://"):
                 # find a root that makes the path exist
                 for cand in (
-                    Path("/root/reference"),
+                    Path(__file__).resolve().parents[2],
                     Path(__file__).resolve().parents[3],
                 ):
                     if (cand / mpath[len("package://") :]).exists():
@@ -67,7 +67,7 @@ class PandaMeshVerifier:
                         break
                 break
         if resources_root is None:
-            resources_root = Path("/root/reference")
+            resources_root = Path(__file__).resolve().parents[2]
 
         self.mesh_paths: Dict[str, str] = {}
         for link, mpath in robot.chain.collision_meshes:

@@ -293,7 +293,12 @@ def solve_goursat_pde_mxu_pallas(
     adjoint. ``inc [B, lx1, ly1]`` → ``[B]``. Runs in interpret mode
     off-TPU so CPU tests exercise the same code."""
     b, lx1, ly1 = inc.shape
-    assert chain_supported(lx1, ly1, dyadic_order)
+    if not chain_supported(lx1, ly1, dyadic_order):
+        raise ValueError(
+            "pallas hop-chain solver needs dyadic_order >= 6 and at most 16 "
+            f"64-wide block hops; got paths of {lx1+1}x{ly1+1} nodes at "
+            f"dyadic_order={dyadic_order}"
+        )
     sub = (1 << dyadic_order) // _M
     nbx, nby = lx1 * sub, ly1 * sub
     nc = lx1 * ly1

@@ -567,10 +567,20 @@ class SignatureKernel:
 
     def _solver_kind(self, lx1: int, ly1: int) -> str:
         if self.solver == "mxu_pallas":
+            from .pallas_mxu_chain import chain_supported
+
+            # explicit requests are validated here so an unsupported shape
+            # falls back to the XLA block-propagator instead of crashing
+            # inside the kernel (or silently mis-solving under python -O)
+            if not chain_supported(lx1, ly1, self.dyadic_order):
+                return "mxu"
             return "mxu_pallas"
-        if self.solver == "mxu" or (
-            self.solver == "auto" and _mxu_eligible(lx1, ly1, self.dyadic_order)
-        ):
+        if self.solver == "mxu":
+            # an explicit 'mxu' pins the XLA block-propagator — it is the
+            # escape hatch for comparing the two MXU implementations at
+            # matched precision; only 'auto' may reroute to the Pallas chain
+            return "mxu"
+        if self.solver == "auto" and _mxu_eligible(lx1, ly1, self.dyadic_order):
             from .pallas_mxu_chain import chain_supported
 
             # at bf16 ("default") precision the VMEM-resident Pallas hop

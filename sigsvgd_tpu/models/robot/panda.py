@@ -1,9 +1,10 @@
 """Franka Panda binding: 7 actuated joints, 9 tracked links.
 
 Counterpart of reference ``PandaRobot`` (``robot_simulator.py:314-349``). The
-URDF is a standard public asset; the default path points at the moveit
-resource copy mounted with the reference repo, overridable via
-``SIGSVGD_TPU_PANDA_URDF`` or an explicit argument.
+URDF is a standard public asset (franka_description / moveit_resources);
+a copy is vendored under ``robot_resources/panda/`` at the repo root so the
+package is self-contained, overridable via ``SIGSVGD_TPU_PANDA_URDF`` or an
+explicit argument.
 """
 from __future__ import annotations
 
@@ -20,7 +21,11 @@ from .urdf import KinematicChain, parse_urdf
 
 _DEFAULT_URDF_CANDIDATES = (
     os.environ.get("SIGSVGD_TPU_PANDA_URDF", ""),
-    "/root/reference/robot_resources/panda/urdf/panda.urdf",
+    # vendored copy (repo root)
+    str(
+        Path(__file__).resolve().parents[3]
+        / "robot_resources/panda/urdf/panda.urdf"
+    ),
 )
 
 TARGET_LINKS = (

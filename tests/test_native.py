@@ -6,7 +6,10 @@ import pytest
 
 from sigsvgd_tpu.native.collision import TriMesh, build_native_library
 
-PANDA_MESHES = Path("/root/reference/robot_resources/panda/meshes/collision")
+PANDA_MESHES = (
+    Path(__file__).resolve().parents[1]
+    / "robot_resources/panda/meshes/collision"
+)
 
 pytestmark = pytest.mark.skipif(
     not PANDA_MESHES.exists(), reason="panda mesh assets unavailable"

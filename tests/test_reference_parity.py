@@ -76,6 +76,10 @@ def _install_stubs():
 @pytest.fixture(scope="module")
 def ref():
     """Namespace of imported reference modules."""
+    import os
+
+    if not os.path.isdir("/root/reference/src"):
+        pytest.skip("torch reference checkout not available")
     _install_stubs()
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
