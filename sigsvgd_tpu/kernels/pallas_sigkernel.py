@@ -104,40 +104,62 @@ def _fwd_kernel(lx1, ly1, bpc, z_ref, k_ref, ck_ref, row_ref, a_ref, b_ref):
     """Grid (ntiles, lx1): advance the 8 fine rows of one coarse band.
 
     z_ref [1, 1, ly1, S, 128] · k_ref [1, S, 128] · ck_ref [1, 1, G1, S, 128]
-    row_ref [G1, S, 128] scratch · a_ref/b_ref [ly1, S, 128] scratch.
+    row_ref [G1+M, S, 128] scratch · a_ref/b_ref [ly1, S, 128] scratch.
+
+    The band's 8 rows advance in an intra-band WAVEFRONT: at super-step s,
+    row i processes coarse cell ``c = s − i`` (one coarse cell behind the
+    row above). The per-cell recurrence is a serial 2-FMA dependency chain
+    (~12 cycles of VPU latency); a single row is therefore latency-bound at
+    ~25 cycles per [16,128] cell op. Staggering the 8 rows gives 8
+    independent chains (×2 vregs = 16), which hides the latency entirely
+    and leaves the kernel issue-bound (~3.4x measured). The FP operations
+    per cell and their order within each row are IDENTICAL to the
+    sequential sweep, so results are bit-exact.
+
+    Inactive rows (head s < i, tail s − i ≥ ly1) read/write a dedicated
+    garbage cell at ``row_ref[G1:]``; their carries are reset to the ones
+    boundary when the row reaches cell 0, so junk never enters real cells.
     """
     r = pl.program_id(1)
     gy = ly1 * _M
+    garb = gy + 1  # garbage cell offset (slots garb..garb+M-1)
 
     @pl.when(r == 0)
     def _():
         row_ref[:] = jnp.ones_like(row_ref)
 
     a_ref[:], b_ref[:] = _coef(z_ref[0, 0])
+    ones = row_ref[0]
 
-    def one_row(_i, carry):
-        def cell(w, kc):
-            kl, corner = kc  # k[i, 8w], k[i-1, 8w]
-            a = a_ref[w]
-            b = b_ref[w]
-            old = row_ref[pl.ds(w * _M + 1, _M)]  # k[i-1, 8w+1..8w+8]
+    def super_step(s, carry):
+        new_carry = []
+        for i in range(_M):
+            kl, corner = carry[i]
+            c = s - i
+            active = jnp.logical_and(c >= 0, c < ly1)
+            cc = jnp.clip(c, 0, ly1 - 1)
+            start = jnp.where(active, c * _M + 1, garb)
+            a = a_ref[cc]
+            b = b_ref[cc]
+            fresh = c == 0
+            kl = jnp.where(fresh, ones, kl)
+            corner = jnp.where(fresh, ones, corner)
+            old = row_ref[pl.ds(start, _M)]  # k[i-1, 8c+1..8c+8]
             news = []
             for t in range(_M):
                 kl = (kl + old[t]) * a - corner * b
                 corner = old[t]
                 news.append(kl)
-            row_ref[pl.ds(w * _M + 1, _M)] = jnp.stack(news)
-            return kl, corner
+            row_ref[pl.ds(start, _M)] = jnp.stack(news)
+            new_carry.append((kl, corner))
+        return tuple(new_carry)
 
-        ones = row_ref[0]
-        lax.fori_loop(0, ly1, cell, (ones, ones))
-        return carry
-
-    lax.fori_loop(0, _M, one_row, 0)
+    init = tuple((ones, ones) for _ in range(_M))
+    lax.fori_loop(0, ly1 + _M - 1, super_step, init)
 
     @pl.when((r + 1) % bpc == 0)
     def _():
-        ck_ref[0, 0] = row_ref[:]
+        ck_ref[0, 0] = row_ref[pl.ds(0, gy + 1)]
 
     @pl.when(r == lx1 - 1)
     def _():
@@ -361,7 +383,7 @@ def _fwd_call(z, nt, lx1, ly1, with_ck):
             jax.ShapeDtypeStruct((nt, nslots, G1, _S, 128), z.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G1, _S, 128), z.dtype),
+            pltpu.VMEM((G1 + _M, _S, 128), z.dtype),  # +M: garbage cell
             pltpu.VMEM((ly1, _S, 128), z.dtype),
             pltpu.VMEM((ly1, _S, 128), z.dtype),
         ],

@@ -42,6 +42,7 @@ def test_obstacle_field_pathsig_method():
     assert np.isfinite(res["final_costs"]).all()
 
 
+@pytest.mark.slow
 def test_planning_ps_sgd_method(tmp_path):
     """pathsig warmup followed by SGD refinement (script_planning_robot
     method 'ps_sgd')."""
@@ -99,6 +100,7 @@ def test_compile_results_aggregation(tmp_path):
     assert mrows[0]["goal_rate"] == 1.0
 
 
+@pytest.mark.slow
 def test_maze_checkpoint_resume(tmp_path):
     """An interrupted maze episode resumes from its newest checkpoint and
     reproduces the uninterrupted run (VERDICT r1 item 8)."""

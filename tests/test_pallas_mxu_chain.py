@@ -117,7 +117,7 @@ def test_chain_compiled_mode_on_tpu():
     env.pop("JAX_PLATFORMS", None)
     out = subprocess.run(
         [sys.executable, "-c", _TPU_SNIPPET],
-        capture_output=True, text=True, timeout=600, env=env,
+        capture_output=True, text=True, timeout=1200, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     if "NO_TPU" in out.stdout:

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sigsvgd_tpu.kernels.pallas_sigkernel import solve_goursat_pde_pallas
 from sigsvgd_tpu.kernels.sigkernel import solve_goursat_pde_scan
@@ -15,6 +16,7 @@ def test_pallas_forward_matches_scan(rng):
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_vjp_matches_scan_ad(rng):
     for (b, lx, ly, lam) in ((4, 3, 3, 3), (3, 4, 4, 3), (2, 2, 5, 3)):
         inc = jnp.asarray(rng.standard_normal((b, lx, ly)).astype(np.float32) * 0.3)
@@ -48,6 +50,7 @@ def test_pallas_multi_tile_pairs(rng):
     )
 
 
+@pytest.mark.slow
 def test_pallas_mpc_shape_smoke(rng):
     """Flagship MPC shape (H=40 path, dyadic 3) at a small pair count."""
     inc = jnp.asarray(rng.standard_normal((3, 40, 40)).astype(np.float32) * 0.05)
@@ -63,6 +66,7 @@ def test_pallas_mpc_shape_smoke(rng):
     )
 
 
+@pytest.mark.slow
 def test_pallas_pair_values_matches_generic_statics(rng):
     """The tile-layout statics path (pallas_pair_values: gather → [nt, L, C,
     S, 128] → fused cross/exp/increments → tiled solve) must agree with the

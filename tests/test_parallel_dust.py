@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from sigsvgd_tpu.controllers import DuSt
@@ -25,6 +26,7 @@ def _controller(n_pol=16):
     )
 
 
+@pytest.mark.slow
 def test_sharded_dust_matches_single_device():
     ctrl = _controller()
     key = jax.random.PRNGKey(0)
@@ -81,6 +83,7 @@ def _sig_controller(n_pol=16, n_action_samples=0, n_params_samples=0):
     )
 
 
+@pytest.mark.slow
 def test_sharded_dust_signature_matches_single_device():
     """Signature-kernel mode: τ all_gather + per-shard PDE Gram blocks must
     reproduce the single-device solve."""
@@ -100,6 +103,7 @@ def test_sharded_dust_signature_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_sharded_dust_signature_2d_pair_grid():
     """2-D dp×sp sharding of the signature Gram inside the MPC solve."""
     ctrl = _sig_controller()
@@ -121,6 +125,7 @@ def test_sharded_dust_signature_2d_pair_grid():
     )
 
 
+@pytest.mark.slow
 def test_sharded_dust_mc_and_params_matches_single_device():
     """Monte-Carlo likelihood path (action samples) + sampled dynamics
     parameters: the sharded solve replicates the single-device PRNG stream
@@ -150,6 +155,7 @@ def test_sharded_dust_mc_and_params_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_sharded_dust_rolls_opt_state():
     """roll_opt_state=True: the sharded solve must roll policy-aligned
     optimizer leaves along the horizon exactly like DuSt.forward (review

@@ -6,6 +6,7 @@ all_gather inside the SVGD scan would silently wreck pod scaling)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from sigsvgd_tpu.controllers import DuSt
@@ -84,6 +85,7 @@ def test_signature_mode_collective_inventory():
     assert ar["count"] <= 12, stats
 
 
+@pytest.mark.slow
 def test_scaling_curve_runs():
     """solves/s at 1/2/4/8 virtual devices — validates the harness and that
     more devices never break the solve; CPU timings are not ICI efficiency."""

@@ -74,6 +74,7 @@ def test_fk_matches_closed_form(chain, rng):
         np.testing.assert_allclose(xs[2], p3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_planar_arm_pathsig_planning(chain):
     """Knot-space signature-kernel planning for the planar arm around a
     circular obstacle in the plane."""

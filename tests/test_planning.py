@@ -40,6 +40,7 @@ def test_body_points_shape():
     assert pts.shape == (2, 7, 80, 3)
 
 
+@pytest.mark.slow
 def test_batch_cost_finite_and_differentiable(problem):
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (4, 3, 7)) * 0.3
@@ -51,6 +52,7 @@ def test_batch_cost_finite_and_differentiable(problem):
 
 
 @pytest.mark.parametrize("method", ["sgd", "svgd", "pathsig"])
+@pytest.mark.slow
 def test_run_optimisation_reduces_cost(problem, method):
     key = jax.random.PRNGKey(1)
     config = PlannerConfig(
@@ -66,6 +68,7 @@ def test_run_optimisation_reduces_cost(problem, method):
     assert cf < c0, f"{method}: cost {c0} -> {cf}"
 
 
+@pytest.mark.slow
 def test_evaluate_trajectory_metrics(problem):
     key = jax.random.PRNGKey(2)
     x = jax.random.normal(key, (3, 3, 7)) * 0.2
@@ -75,6 +78,7 @@ def test_evaluate_trajectory_metrics(problem):
     assert np.isfinite(np.asarray(metrics["ee_path_length"])).all()
 
 
+@pytest.mark.slow
 def test_learned_occupancy_substitutes(robot):
     """Train a tiny occupancy MLP on exact labels and plug it into the cost."""
     from sigsvgd_tpu.models.learning.mlp import train_prob_model
@@ -122,6 +126,7 @@ def test_mlp_save_load_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_planning_with_lbfgs_linesearch(problem):
     """The planning pipeline runs with the L-BFGS + zoom line-search
     optimizer (VERDICT r1 item 6)."""
@@ -137,6 +142,7 @@ def test_planning_with_lbfgs_linesearch(problem):
     assert np.isfinite(np.asarray(x_final)).all()
 
 
+@pytest.mark.slow
 def test_planning_checkpoint_resume(problem, tmp_path):
     """run_optimisation resumes from its newest checkpoint."""
     import jax
@@ -159,6 +165,7 @@ def test_planning_checkpoint_resume(problem, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_planning_lbfgs_through_host_loop_and_checkpoints(problem, tmp_path):
     """L-BFGS (extra-args zoom line search) must survive the host-loop and
     checkpointed paths: run_host_loop/step_update forward value_fn (review

@@ -731,6 +731,7 @@ def test_dust_forward_mc_path_parity(ref, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_dust_autograd_path_score_parity(ref, monkeypatch):
     """n_action_samples=0 (autodiff likelihood): full score parity.
 

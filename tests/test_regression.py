@@ -8,6 +8,7 @@ within tolerance. Regenerate the constants deliberately when an intentional
 behavior change lands (run the episode and paste the new array).
 """
 import numpy as np
+import pytest
 
 from sigsvgd_tpu.experiments.maze import MazeConfig, run_episode
 
@@ -34,6 +35,7 @@ def test_maze_rbf_golden_trajectory():
     )
 
 
+@pytest.mark.slow
 def test_maze_deterministic_across_runs():
     a = run_episode(MazeConfig(kernel="rbf", steps=4), seed=11)
     b = run_episode(MazeConfig(kernel="rbf", steps=4), seed=11)

@@ -163,6 +163,7 @@ def test_path_request_yaml(tmp_path):
     assert req2.start == req.start and req2.target == req.target
 
 
+@pytest.mark.slow
 def test_all_scene_tags_build_and_generate_requests():
     """Every scene tag (incl. the four round-2 additions mirroring the
     reference's kitchen/box/bookshelf_thin/table_bars) builds, has a finite

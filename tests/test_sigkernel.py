@@ -10,6 +10,7 @@ Oracles:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sigsvgd_tpu.kernels import (
     SignatureKernel,
@@ -139,6 +140,7 @@ def test_custom_vjp_rectangular_and_chunked(rng):
     )
 
 
+@pytest.mark.slow
 def test_custom_vjp_large_grid_reconstruction_accuracy(rng):
     """The reverse-reconstruction adjoint at FLAGSHIP grid sizes.
 
@@ -225,6 +227,7 @@ def test_mxu_block_propagator_matches_wavefront(rng):
         )
 
 
+@pytest.mark.slow
 def test_signature_kernel_auto_solver_consistency(rng):
     """SignatureKernel with solver=auto (MXU at dyadic 6) must agree with the
     explicit wavefront solver end-to-end (gram_and_grad)."""
@@ -262,6 +265,7 @@ def test_auto_chunk_is_solver_aware():
     assert wave._auto_chunk(4, 4) == auto_chunk(4, 4, 6)
 
 
+@pytest.mark.slow
 def test_gram_and_grad_dense_route_matches_pair_route(rng, monkeypatch):
     """Short-path (MXU-eligible) gram_and_grad takes the dense full-Gram
     route; it must agree with the gathered-pair route (the general path) in

@@ -1,6 +1,7 @@
 """Natural-cubic-spline tests against scipy's fp64 implementation."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.interpolate import CubicSpline as ScipyCubicSpline
 
 from sigsvgd_tpu.utils import splines as sp
@@ -42,6 +43,7 @@ def test_two_knots_is_linear():
     np.testing.assert_allclose(traj[:, 1], np.linspace(0, 2, 5), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_differentiable(rng):
     import jax
 
