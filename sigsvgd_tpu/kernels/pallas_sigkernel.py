@@ -100,35 +100,25 @@ def _coef(z):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(lx1, ly1, bpc, z_ref, k_ref, ck_ref, row_ref, a_ref, b_ref):
-    """Grid (ntiles, lx1): advance the 8 fine rows of one coarse band.
-
-    z_ref [1, 1, ly1, S, 128] · k_ref [1, S, 128] · ck_ref [1, 1, G1, S, 128]
-    row_ref [G1+M, S, 128] scratch · a_ref/b_ref [ly1, S, 128] scratch.
+def _band_sweep(ly1, row_ref, a_ref, b_ref):
+    """Advance one coarse band's 8 fine rows over ``row_ref``.
 
     The band's 8 rows advance in an intra-band WAVEFRONT: at super-step s,
     row i processes coarse cell ``c = s − i`` (one coarse cell behind the
     row above). The per-cell recurrence is a serial 2-FMA dependency chain
     (~12 cycles of VPU latency); a single row is therefore latency-bound at
     ~25 cycles per [16,128] cell op. Staggering the 8 rows gives 8
-    independent chains (×2 vregs = 16), which hides the latency entirely
-    and leaves the kernel issue-bound (~3.4x measured). The FP operations
-    per cell and their order within each row are IDENTICAL to the
-    sequential sweep, so results are bit-exact.
+    independent chains (×2 vregs = 16), which hides the latency and makes
+    the sweep issue/mem-bound (2.0x measured). The FP operations per cell
+    and their order within each row are IDENTICAL to the sequential sweep,
+    so results are bit-exact.
 
     Inactive rows (head s < i, tail s − i ≥ ly1) read/write a dedicated
     garbage cell at ``row_ref[G1:]``; their carries are reset to the ones
     boundary when the row reaches cell 0, so junk never enters real cells.
     """
-    r = pl.program_id(1)
     gy = ly1 * _M
     garb = gy + 1  # garbage cell offset (slots garb..garb+M-1)
-
-    @pl.when(r == 0)
-    def _():
-        row_ref[:] = jnp.ones_like(row_ref)
-
-    a_ref[:], b_ref[:] = _coef(z_ref[0, 0])
     ones = row_ref[0]
 
     def super_step(s, carry):
@@ -156,6 +146,91 @@ def _fwd_kernel(lx1, ly1, bpc, z_ref, k_ref, ck_ref, row_ref, a_ref, b_ref):
 
     init = tuple((ones, ones) for _ in range(_M))
     lax.fori_loop(0, ly1 + _M - 1, super_step, init)
+
+
+def _fwd_kernel(lx1, ly1, bpc, z_ref, k_ref, ck_ref, row_ref, a_ref, b_ref):
+    """Grid (ntiles, lx1): advance the 8 fine rows of one coarse band.
+
+    z_ref [1, 1, ly1, S, 128] · k_ref [1, S, 128] · ck_ref [1, 1, G1, S, 128]
+    row_ref [G1+M, S, 128] scratch · a_ref/b_ref [ly1, S, 128] scratch.
+    See :func:`_band_sweep` for the wavefront row schedule.
+    """
+    r = pl.program_id(1)
+    gy = ly1 * _M
+
+    @pl.when(r == 0)
+    def _():
+        row_ref[:] = jnp.ones_like(row_ref)
+
+    a_ref[:], b_ref[:] = _coef(z_ref[0, 0])
+    _band_sweep(ly1, row_ref, a_ref, b_ref)
+
+    @pl.when((r + 1) % bpc == 0)
+    def _():
+        ck_ref[0, 0] = row_ref[pl.ds(0, gy + 1)]
+
+    @pl.when(r == lx1 - 1)
+    def _():
+        k_ref[0] = row_ref[gy]
+
+
+# ---------------------------------------------------------------------------
+# Fused-statics forward: RBF static Gram + increments computed per band in
+# VMEM from the (bandwidth-pre-scaled) path tiles — z never touches HBM.
+# ---------------------------------------------------------------------------
+
+
+def _g_row(x_ref, yg_ref, yn_ref):
+    """One static-Gram row ``g[j] = exp(-(‖x‖² + ‖y_j‖² - 2⟨x, y_j⟩))`` for a
+    path point against all of Y; paths are pre-scaled by rsqrt(h). Returns
+    (g [Ly, S, 128], d2 [Ly, S, 128])."""
+    C = x_ref.shape[2]
+    xn = x_ref[0, 0, 0] * x_ref[0, 0, 0]
+    cross = x_ref[0, 0, 0] * yg_ref[0, :, 0]
+    for c in range(1, C):
+        xn = xn + x_ref[0, 0, c] * x_ref[0, 0, c]
+        cross = cross + x_ref[0, 0, c] * yg_ref[0, :, c]
+    d2 = jnp.maximum(xn + yn_ref[:] - 2.0 * cross, 0.0)
+    return jnp.exp(-d2), d2
+
+
+def _yn_init(yg_ref, yn_ref):
+    C = yg_ref.shape[2]
+    yn = yg_ref[0, :, 0] * yg_ref[0, :, 0]
+    for c in range(1, C):
+        yn = yn + yg_ref[0, :, c] * yg_ref[0, :, c]
+    yn_ref[:] = yn
+
+
+_ZS = 1.0 / float(4**_LAM)  # dyadic grid scale on the increments
+
+
+def _fused_fwd_kernel(lx1, ly1, bpc, xg0_ref, xg1_ref, yg_ref, k_ref, ck_ref,
+                      row_ref, a_ref, b_ref, grow_ref, yn_ref):
+    """Fused-statics forward. Grid (ntiles, lx1); band I consumes path rows
+    I (carried static-Gram row in ``grow_ref``) and I+1 (computed here):
+    ``z[I, J] = (g[I+1,J+1] − g[I+1,J] − g[I,J+1] + g[I,J]) / 4^λ``.
+
+    xg0/xg1 [1, 1, C, S, 128] (path rows I, I+1) · yg [1, Ly, C, S, 128]
+    (resident) · grow/yn [Ly, S, 128] scratch. Everything else matches
+    :func:`_fwd_kernel`.
+    """
+    r = pl.program_id(1)
+    gy = ly1 * _M
+
+    @pl.when(r == 0)
+    def _():
+        row_ref[:] = jnp.ones_like(row_ref)
+        _yn_init(yg_ref, yn_ref)
+        g0, _ = _g_row(xg0_ref, yg_ref, yn_ref)
+        grow_ref[:] = g0
+
+    gl = grow_ref[:]                       # g row I
+    gu, _ = _g_row(xg1_ref, yg_ref, yn_ref)  # g row I+1
+    z = (gu[1:] - gu[:-1] - gl[1:] + gl[:-1]) * _ZS
+    grow_ref[:] = gu
+    a_ref[:], b_ref[:] = _coef(z)
+    _band_sweep(ly1, row_ref, a_ref, b_ref)
 
     @pl.when((r + 1) % bpc == 0)
     def _():
@@ -230,6 +305,20 @@ def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
 
     lax.fori_loop(0, ly1, dz_zero, 0)
 
+    _bwd_rows(
+        ly1, r,
+        lambda cc: z_ref[0, 0, cc],
+        lambda cc: dz_ref[0, 0, cc],
+        lambda cc, v: dz_ref.__setitem__((0, 0, cc), v),
+        gout_ref, kbuf_ref, gbuf_ref, a_ref, b_ref, au_ref, bu_ref, ai_ref,
+    )
+
+
+def _bwd_rows(ly1, r, z_at, dz_get, dz_set, gout_ref, kbuf_ref, gbuf_ref,
+              a_ref, b_ref, au_ref, bu_ref, ai_ref):
+    """The band's 8-row reverse sweep (see :func:`_bwd_kernel`). ``z_at(cc)``
+    reads cell cc's scaled increment; ``dz_get``/``dz_set`` access the dz
+    accumulator (an output block or a VMEM scratch row)."""
     # unrolled over the band's 8 rows, i = 8b+8 - t descending; t is a
     # Python int so every kbuf/gbuf leading store index is compile-time
     # static (traced leading store indices silently corrupt slot selection)
@@ -291,7 +380,7 @@ def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
             # two reductions + two scalar-vreg FMAs instead of four 8-vreg
             # products (~30% fewer vector ops in the heaviest chain)
             if t > 0:
-                z = z_ref[0, 0, cc]
+                z = z_at(cc)
                 g_here = gbuf_ref[1 - par, pl.ds(cc * _M + 1, _M)]
                 kcur = kbuf_ref[kdz_s, pl.ds(cc * _M, _M)]
                 up = kbuf_ref[kdzu_s, pl.ds(cc * _M + 1, _M)]
@@ -299,9 +388,7 @@ def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
                 s1 = jnp.sum(g_here * (kcur + up), axis=0)
                 s2 = jnp.sum(g_here * corner, axis=0)
                 t1 = z * (1.0 / 6.0)
-                dz_ref[0, 0, cc] = (
-                    dz_ref[0, 0, cc] + (0.5 + t1) * s1 + t1 * s2
-                )
+                dz_set(cc, dz_get(cc) + (0.5 + t1) * s1 + t1 * s2)
             return g_right, kdl
 
         zero = jnp.zeros_like(gbuf_ref[0, 0])
@@ -314,7 +401,7 @@ def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
     klastu = _M % 3
 
     def dz_last(cc, c):
-        z = z_ref[0, 0, cc]
+        z = z_at(cc)
         g_here = gbuf_ref[glast, pl.ds(cc * _M + 1, _M)]
         kcur = kbuf_ref[klast, pl.ds(cc * _M, _M)]
         up = kbuf_ref[klastu, pl.ds(cc * _M + 1, _M)]
@@ -322,10 +409,104 @@ def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
         s1 = jnp.sum(g_here * (kcur + up), axis=0)
         s2 = jnp.sum(g_here * corner, axis=0)
         t1 = z * (1.0 / 6.0)
-        dz_ref[0, 0, cc] = dz_ref[0, 0, cc] + (0.5 + t1) * s1 + t1 * s2
+        dz_set(cc, dz_get(cc) + (0.5 + t1) * s1 + t1 * s2)
         return c
 
     lax.fori_loop(0, ly1, dz_last, 0)
+
+
+# ---------------------------------------------------------------------------
+# Fused-statics backward: recompute the static-Gram rows per band, run the
+# reverse sweep with dz in VMEM, and pull dz back to path-tile gradients —
+# neither z nor dz ever touches HBM.
+# ---------------------------------------------------------------------------
+
+
+def _fused_bwd_kernel(lx1, ly1, bpc,
+                      xg0_ref, xg1_ref, yg_ref, ck_ref, gout_ref,
+                      dxg_ref, dxg0_ref, dyg_ref,
+                      kbuf_ref, gbuf_ref, a_ref, b_ref, au_ref, bu_ref,
+                      ai_ref, zrow_ref, dz_ref, grow_ref, d2row_ref,
+                      yn_ref, dgc_ref):
+    """Grid (ntiles·NH, lx1), band b = lx1-1-r (descending).
+
+    Statics: band b's increments need static-Gram rows b (computed here
+    from ``xg0``) and b+1 (carried in ``grow_ref``/``d2row_ref`` from the
+    band above — the first step computes both). After the reverse sweep,
+    the accumulated dz row is pulled back through the double difference to
+    ``dg`` rows b/b+1 and on to RBF path-tile gradients: row b+1's dg is
+    complete once band b has contributed (``dgc_ref`` carries the pending
+    half), so ``dxg`` row b+1 is emitted per band and row 0 at the end;
+    ``dyg`` accumulates in its (constant-indexed) output block.
+    """
+    r = pl.program_id(1)
+    b = lx1 - 1 - r
+    C = yg_ref.shape[2]
+
+    @pl.when(r == 0)
+    def _():
+        gbuf_ref[:] = jnp.zeros_like(gbuf_ref)
+        au_ref[:] = jnp.zeros_like(au_ref)
+        bu_ref[:] = jnp.zeros_like(bu_ref)
+        _yn_init(yg_ref, yn_ref)
+        gu0, d2u0 = _g_row(xg1_ref, yg_ref, yn_ref)  # g row lx1
+        grow_ref[:] = gu0
+        d2row_ref[:] = d2u0
+        dgc_ref[:] = jnp.zeros_like(dgc_ref)
+        dyg_ref[0] = jnp.zeros_like(dyg_ref[0])
+        dxg0_ref[0, 0] = jnp.zeros_like(dxg0_ref[0, 0])
+
+    @pl.when(r != 0)
+    def _():
+        au_ref[:] = a_ref[:]
+        bu_ref[:] = b_ref[:]
+        kbuf_ref[0] = kbuf_ref[2]
+
+    gl, d2l = _g_row(xg0_ref, yg_ref, yn_ref)  # g row b
+    gu = grow_ref[:]                            # g row b+1 (carried)
+    zrow_ref[:] = (gu[1:] - gu[:-1] - gl[1:] + gl[:-1]) * _ZS
+    a_ref[:], b_ref[:] = _coef(zrow_ref[:])
+    ai_ref[:] = 1.0 / a_ref[:]
+
+    @pl.when((b + 1) % bpc == 0)
+    def _():
+        kbuf_ref[0] = ck_ref[0, 0]
+
+    dz_ref[:] = jnp.zeros_like(dz_ref)
+    _bwd_rows(
+        ly1, r,
+        lambda cc: zrow_ref[cc],
+        lambda cc: dz_ref[cc],
+        lambda cc, v: dz_ref.__setitem__(cc, v),
+        gout_ref, kbuf_ref, gbuf_ref, a_ref, b_ref, au_ref, bu_ref, ai_ref,
+    )
+
+    # ---- statics pull-back for this band ----------------------------------
+    # dg[b+1, j] = s·(dz[j-1] − dz[j]) =: e[j]; dg[b, j] gets −e[j] (carried)
+    dz = dz_ref[:]
+    e = jnp.concatenate([-dz[:1], dz[:-1] - dz[1:], dz[-1:]], axis=0) * _ZS
+    dgu = dgc_ref[:] + e
+    dd2 = jnp.where(d2row_ref[:] > 0.0, dgu * (-gu), 0.0)  # [Ly, 8, 128]
+    sd = jnp.sum(dd2, axis=0)
+    for c in range(C):
+        yc = yg_ref[0, :, c]
+        x1c = xg1_ref[0, 0, c]
+        dxg_ref[0, 0, c] = 2.0 * (x1c * sd - jnp.sum(dd2 * yc, axis=0))
+        dyg_ref[0, :, c] = dyg_ref[0, :, c] + 2.0 * (yc - x1c) * dd2
+    dgc_ref[:] = -e
+    grow_ref[:] = gl
+    d2row_ref[:] = d2l
+
+    @pl.when(r == lx1 - 1)
+    def _():
+        # g row 0: its dg has only band 0's −e contribution (the carry)
+        dd20 = jnp.where(d2l > 0.0, dgc_ref[:] * (-gl), 0.0)
+        sd0 = jnp.sum(dd20, axis=0)
+        for c in range(C):
+            yc = yg_ref[0, :, c]
+            x0c = xg0_ref[0, 0, c]
+            dxg0_ref[0, 0, c] = 2.0 * (x0c * sd0 - jnp.sum(dd20 * yc, axis=0))
+            dyg_ref[0, :, c] = dyg_ref[0, :, c] + 2.0 * (yc - x0c) * dd20
 
 
 # ---------------------------------------------------------------------------
@@ -483,6 +664,180 @@ def solve_goursat_pde_pallas(inc: jax.Array, dyadic_order: int) -> jax.Array:
     assert dyadic_order == _LAM, "pallas solver is specialised to dyadic 3"
     z, b, _nt = _pad_pairs(inc / float(4**_LAM))
     return _solve_tiled(z).reshape(-1)[:b]
+
+
+def _fused_fwd_call(xg, yg, with_ck):
+    nt, lx1 = xg.shape[0], xg.shape[1] - 1
+    ly = yg.shape[1]
+    ly1 = ly - 1
+    C = xg.shape[2]
+    bpc = _bands_per_ck(lx1) if with_ck else lx1
+    G1 = ly1 * _M + 1
+    nslots = lx1 // bpc
+    kern = partial(_fused_fwd_kernel, lx1, ly1, bpc)
+    k, cks = pl.pallas_call(
+        kern,
+        grid=(nt, lx1),
+        in_specs=[
+            pl.BlockSpec((1, 1, C, _S, 128), lambda p, r: (p, r, 0, 0, 0)),
+            pl.BlockSpec((1, 1, C, _S, 128), lambda p, r: (p, r + 1, 0, 0, 0)),
+            pl.BlockSpec((1, ly, C, _S, 128), lambda p, r: (p, 0, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _S, 128), lambda p, r: (p, 0, 0)),
+            pl.BlockSpec((1, 1, G1, _S, 128), lambda p, r: (p, r // bpc, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, _S, 128), xg.dtype),
+            jax.ShapeDtypeStruct((nt, nslots, G1, _S, 128), xg.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G1 + _M, _S, 128), xg.dtype),  # row (+garbage cell)
+            pltpu.VMEM((ly1, _S, 128), xg.dtype),      # a
+            pltpu.VMEM((ly1, _S, 128), xg.dtype),      # b
+            pltpu.VMEM((ly, _S, 128), xg.dtype),       # grow (carried g row)
+            pltpu.VMEM((ly, _S, 128), xg.dtype),       # yn
+        ],
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(xg, xg, yg)
+    if with_ck:
+        return k, cks
+    return k
+
+
+def _fused_bwd_call(xg, yg, cks, g_out):
+    nt, lx1 = xg.shape[0], xg.shape[1] - 1
+    ly = yg.shape[1]
+    ly1 = ly - 1
+    C = xg.shape[2]
+    bpc = _bands_per_ck(lx1)
+    G1 = ly1 * _M + 1
+    G2 = G1 + _M
+    kern = partial(_fused_bwd_kernel, lx1, ly1, bpc)
+
+    def slot(r):
+        b = lx1 - 1 - r
+        return jnp.maximum(0, (b + 1) // bpc - 1)
+
+    dxg_rows, dxg0, dyg = pl.pallas_call(
+        kern,
+        grid=(nt * _NH, lx1),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, C, 8, 128),
+                lambda p, r: (p // _NH, lx1 - 1 - r, 0, p % _NH, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, C, 8, 128),
+                lambda p, r: (p // _NH, lx1 - r, 0, p % _NH, 0),
+            ),
+            pl.BlockSpec(
+                (1, ly, C, 8, 128), lambda p, r: (p // _NH, 0, 0, p % _NH, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, G1, 8, 128),
+                lambda p, r: (p // _NH, slot(r), 0, p % _NH, 0),
+            ),
+            pl.BlockSpec((1, 8, 128), lambda p, r: (p // _NH, p % _NH, 0)),
+        ],
+        out_specs=[
+            # block row b holds the (complete) dX gradient of path row b+1
+            pl.BlockSpec(
+                (1, 1, C, 8, 128),
+                lambda p, r: (p // _NH, lx1 - 1 - r, 0, p % _NH, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, C, 8, 128), lambda p, r: (p // _NH, 0, 0, p % _NH, 0)
+            ),
+            pl.BlockSpec(
+                (1, ly, C, 8, 128), lambda p, r: (p // _NH, 0, 0, p % _NH, 0)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, lx1, C, _S, 128), xg.dtype),
+            jax.ShapeDtypeStruct((nt, 1, C, _S, 128), xg.dtype),
+            jax.ShapeDtypeStruct((nt, ly, C, _S, 128), xg.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, G1, 8, 128), xg.dtype),   # kbuf
+            pltpu.VMEM((2, G2, 8, 128), xg.dtype),   # gbuf
+            pltpu.VMEM((ly1, 8, 128), xg.dtype),     # a
+            pltpu.VMEM((ly1, 8, 128), xg.dtype),     # b
+            pltpu.VMEM((ly1, 8, 128), xg.dtype),     # au
+            pltpu.VMEM((ly1, 8, 128), xg.dtype),     # bu
+            pltpu.VMEM((ly1, 8, 128), xg.dtype),     # ai
+            pltpu.VMEM((ly1, 8, 128), xg.dtype),     # zrow
+            pltpu.VMEM((ly1, 8, 128), xg.dtype),     # dz
+            pltpu.VMEM((ly, 8, 128), xg.dtype),      # grow
+            pltpu.VMEM((ly, 8, 128), xg.dtype),      # d2row
+            pltpu.VMEM((ly, 8, 128), xg.dtype),      # yn
+            pltpu.VMEM((ly, 8, 128), xg.dtype),      # dgc
+        ],
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(xg, xg, yg, cks, g_out)
+    return jnp.concatenate([dxg0, dxg_rows], axis=1), dyg
+
+
+@jax.custom_vjp
+def _fused_tiled(xg: jax.Array, yg: jax.Array) -> jax.Array:
+    """PDE solve on pre-scaled path tiles ``xg [nt, Lx, C, S, 128]``,
+    ``yg [nt, Ly, C, S, 128]`` (coordinates pre-multiplied by rsqrt(h)) →
+    ``k [nt, S, 128]``. RBF statics and the increment double-difference are
+    computed per band INSIDE the kernels: neither the [·, L, L] static Gram
+    nor the increment grid z (nor, backward, dz) ever touches HBM — the
+    only O(pairs) residual is the checkpoint rows."""
+    return _fused_fwd_call(xg, yg, with_ck=False)
+
+
+def _fused_tiled_fwd(xg, yg):
+    k, cks = _fused_fwd_call(xg, yg, with_ck=True)
+    return k, (xg, yg, cks)
+
+
+def _fused_tiled_bwd(res, g_out):
+    xg, yg, cks = res
+    return _fused_bwd_call(xg, yg, cks, g_out)
+
+
+_fused_tiled.defvjp(_fused_tiled_fwd, _fused_tiled_bwd)
+
+
+def fused_supported(lx1: int, ly1: int, dyadic_order: int, n_channels: int,
+                    static: str, h) -> bool:
+    # channel bound: yg + its dyg accumulator + the carried static rows add
+    # ~(2C+6) [Ly, 8, 128] buffers to the backward's VMEM bill; C ≤ 8 keeps
+    # the total under ~13 MB at ly1 = 48
+    return (
+        pallas_supported(lx1, ly1, dyadic_order)
+        and static == "rbf"
+        and h is not None
+        and n_channels <= 8
+    )
+
+
+def pallas_pair_gram_fused(X, Y, ix, iy, h) -> jax.Array:
+    """Fused-statics signature-kernel values for a pair list (RBF statics).
+
+    Same contract as :func:`pallas_pair_values` (``P % 2048 == 0``; padded
+    pairs use index 0 and zero cotangents), but the static Gram and the
+    increment double-difference move INSIDE the Pallas kernels: the XLA
+    side only gathers and tiles the rsqrt(h)-scaled paths, so the per-pair
+    HBM traffic drops from O(L²) floats (z forward + dz backward) to O(L·C)
+    path tiles + O(G) checkpoint rows. Differentiable w.r.t. X, Y and h
+    (h via the pre-scale: ‖(x−y)/√h‖² ≡ ‖x−y‖²/h exactly)."""
+    nt = ix.shape[0] // _P
+    scale = lax.rsqrt(h).astype(X.dtype)
+    Xs = X * scale
+    Ys = Y * scale
+
+    def tile(paths, idx):
+        g = paths[idx]  # [P, L, C]
+        g = g.reshape(nt, _S, 128, paths.shape[1], paths.shape[2])
+        return jnp.transpose(g, (0, 3, 4, 1, 2))
+
+    return _fused_tiled(tile(Xs, ix), tile(Ys, iy)).reshape(-1)
 
 
 def pallas_pair_values(X, Y, ix, iy, h) -> jax.Array:

@@ -624,7 +624,19 @@ class SignatureKernel:
             return solve_goursat_pde_pallas(inc, self.dyadic_order)
         return solve_goursat_pde(inc, self.dyadic_order, chunk)
 
-    def _auto_chunk(self, lx1: int, ly1: int, budget_bytes: int = 4 * 10**9) -> int:
+    def _fused_pallas(self, lx1: int, ly1: int, n_channels, h) -> bool:
+        """Whether the pallas solver kind will take the fused-statics route
+        (``n_channels``/``h`` = None means unknown → assume unfused)."""
+        if n_channels is None:
+            return False
+        from .pallas_sigkernel import fused_supported
+
+        return fused_supported(
+            lx1, ly1, self.dyadic_order, n_channels, self.static, h
+        )
+
+    def _auto_chunk(self, lx1: int, ly1: int, budget_bytes: int = 4 * 10**9,
+                    n_channels=None, h=None) -> int:
         """Pair-chunk size for the streamed-Gram pipeline, sized by the
         ACTIVE solver's per-pair backward working set. The wavefront
         adjoint's coefficient fields dominate its footprint, yielding small
@@ -655,8 +667,16 @@ class SignatureKernel:
 
             g1 = (ly1 << lam) + 1
             nslots = lx1 // _bands_per_ck(lx1)
-            # z + dz blocks + streamed checkpoint rows
-            per_pair = 4 * 2 * (2 * lx1 * ly1 + nslots * g1)
+            if self._fused_pallas(lx1, ly1, n_channels, h):
+                # fused statics: z/dz never leave VMEM — per-pair HBM is the
+                # gathered path tiles (+ their gradients) and the checkpoint
+                # rows only (~3.5x larger chunks at the flagship MPC shape)
+                per_pair = 4 * 2 * (
+                    2 * (lx1 + 1 + ly1 + 1) * n_channels + nslots * g1
+                )
+            else:
+                # z + dz blocks + streamed checkpoint rows
+                per_pair = 4 * 2 * (2 * lx1 * ly1 + nslots * g1)
         else:
             return auto_chunk(lx1, ly1, lam, budget_bytes)
         return max(256, budget_bytes // per_pair)
@@ -728,12 +748,14 @@ class SignatureKernel:
         resid = n * n * hops * (2 * m + 1) * 4 * 1.5
         return resid <= 3.5e9
 
-    def _chunk_plan(self, lx1: int, ly1: int, total: int):
+    def _chunk_plan(self, lx1: int, ly1: int, total: int,
+                    n_channels=None, h=None):
         """(solver kind, pair-chunk size, chunk count) for ``total`` pairs.
         Never pads a small pair list up to the memory-budget chunk size; the
         Pallas pipeline wants whole [16, 128] pair tiles per block."""
         kind = self._solver_kind(lx1, ly1)
-        chunk = min(self._auto_chunk(lx1, ly1), total)
+        chunk = min(self._auto_chunk(lx1, ly1, n_channels=n_channels, h=h),
+                    total)
         if kind == "pallas":
             from .pallas_sigkernel import _P as _TILE
 
@@ -747,11 +769,20 @@ class SignatureKernel:
         tensors (whose (8,128) trailing-dim tiling bloats a 41×41 grid 3.7×)
         and no pair-major → tile transpose."""
         if kind == "pallas":
-            from .pallas_sigkernel import pallas_pair_values
-
-            return pallas_pair_values(
-                X, Y, ixc, iyc, None if self.static == "linear" else h
+            from .pallas_sigkernel import (
+                fused_supported, pallas_pair_gram_fused, pallas_pair_values,
             )
+
+            hh = None if self.static == "linear" else h
+            lx1, ly1 = X.shape[1] - 1, Y.shape[1] - 1
+            if fused_supported(
+                lx1, ly1, self.dyadic_order, X.shape[2], self.static, hh
+            ):
+                # RBF statics + increments computed inside the Pallas
+                # kernels: the per-pair HBM traffic drops from O(L²) z/dz
+                # grids to O(L·C) path tiles + checkpoint rows
+                return pallas_pair_gram_fused(X, Y, ixc, iyc, hh)
+            return pallas_pair_values(X, Y, ixc, iyc, hh)
 
         # trajectory channel counts are tiny (2-7): a [c,p,2]x[c,q,2]
         # batched einsum pads its contraction dim onto the MXU; an unrolled
@@ -793,7 +824,9 @@ class SignatureKernel:
         PDE forward rather than the checkpoint's two)."""
         lx1, ly1 = X.shape[1] - 1, Y.shape[1] - 1
         total = ix.shape[0]
-        kind, chunk, nb = self._chunk_plan(lx1, ly1, total)
+        kind, chunk, nb = self._chunk_plan(
+            lx1, ly1, total, n_channels=X.shape[2], h=h
+        )
         ix, iy = self._pad_pair_list([ix, iy], nb, chunk, total)
 
         @jax.checkpoint
@@ -866,7 +899,9 @@ class SignatureKernel:
         iu, ju = jnp.triu_indices(n)
         h = self._subsampled_bandwidth(X, X)
         total = iu.shape[0]
-        kind, chunk, nb = self._chunk_plan(lx1, ly1, total)
+        kind, chunk, nb = self._chunk_plan(
+            lx1, ly1, total, n_channels=X.shape[2], h=h
+        )
         seed = jnp.where(iu == ju, 1.0, 2.0).astype(X.dtype)
         ix, iy, sc = self._pad_pair_list([iu, ju, seed], nb, chunk, total)
 

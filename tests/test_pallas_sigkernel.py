@@ -91,6 +91,62 @@ def test_pallas_pair_values_matches_generic_statics(rng):
         )
 
 
+def test_fused_statics_matches_unfused(rng):
+    """The fused-statics route (RBF Gram + increments computed inside the
+    Pallas kernels, custom VJP to path-tile gradients) must agree with the
+    XLA-statics + tiled-solve route, values AND gradients w.r.t. X, Y, h."""
+    from sigsvgd_tpu.kernels.pallas_sigkernel import (
+        _P, pallas_pair_gram_fused, pallas_pair_values,
+    )
+
+    n, m, L, C = 6, 5, 5, 2
+    X = jnp.asarray(rng.standard_normal((n, L, C)).astype(np.float32))
+    Y = jnp.asarray(rng.standard_normal((m, L, C)).astype(np.float32))
+    ix = jnp.asarray(rng.integers(0, n, _P).astype(np.int32))
+    iy = jnp.asarray(rng.integers(0, m, _P).astype(np.int32))
+    h = jnp.float32(1.7)
+    g = jnp.asarray(rng.standard_normal(_P).astype(np.float32))
+
+    v_ref, vjp_ref = jax.vjp(
+        lambda x, y, hh: pallas_pair_values(x, y, ix, iy, hh), X, Y, h)
+    v_fus, vjp_fus = jax.vjp(
+        lambda x, y, hh: pallas_pair_gram_fused(x, y, ix, iy, hh), X, Y, h)
+    np.testing.assert_allclose(np.asarray(v_fus), np.asarray(v_ref), rtol=2e-5,
+                               atol=1e-6)
+    for d_f, d_r in zip(vjp_fus(g), vjp_ref(g)):
+        scale = max(np.abs(np.asarray(d_r)).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(d_f) / scale, np.asarray(d_r) / scale, atol=1e-3
+        )
+
+
+@pytest.mark.slow
+def test_fused_statics_mpc_shape(rng):
+    """Fused statics at the flagship MPC path length (L=40, lx1=39: bands
+    not divisible by bpc-candidates > 3, exercising the checkpoint slots)."""
+    from sigsvgd_tpu.kernels.pallas_sigkernel import (
+        _P, pallas_pair_gram_fused, pallas_pair_values,
+    )
+
+    n, L, C = 5, 40, 2
+    X = 0.3 * jnp.asarray(rng.standard_normal((n, L, C)).astype(np.float32))
+    ix = jnp.asarray(rng.integers(0, n, _P).astype(np.int32))
+    iy = jnp.asarray(rng.integers(0, n, _P).astype(np.int32))
+    h = jnp.float32(2.3)
+    g = jnp.asarray(rng.standard_normal(_P).astype(np.float32))
+    v_ref, vjp_ref = jax.vjp(
+        lambda x: pallas_pair_values(x, x, ix, iy, h), X)
+    v_fus, vjp_fus = jax.vjp(
+        lambda x: pallas_pair_gram_fused(x, x, ix, iy, h), X)
+    np.testing.assert_allclose(np.asarray(v_fus), np.asarray(v_ref), rtol=1e-4,
+                               atol=1e-6)
+    (d_f,), (d_r,) = vjp_fus(g), vjp_ref(g)
+    scale = np.abs(np.asarray(d_r)).max()
+    np.testing.assert_allclose(
+        np.asarray(d_f) / scale, np.asarray(d_r) / scale, atol=2e-3
+    )
+
+
 def test_pallas_supported_bounds_vmem():
     """Eligibility must reject path lengths whose row buffers exceed VMEM
     (review r2: the [16,128] forward doubled the footprint; long dyadic-3
