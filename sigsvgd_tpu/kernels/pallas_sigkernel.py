@@ -21,20 +21,31 @@ and stream everything else:
     recurrence ``k[i,j] = (k[i,j-1] + k[i-1,j])·a − k[i-1,j-1]·b`` advance
     in place over a single row buffer; every ``bands_per_ck`` bands the row
     is checkpointed to HBM;
-  * backward (custom VJP): bands top-down; per row, THREE independent
-    recurrence chains run interleaved in a single cell loop — the adjoint
-    of row i sweeping right-to-left, the primal of row i−1 RECONSTRUCTED
-    left-to-right by inverting the forward recurrence (re-anchored at the
-    streamed checkpoint rows), and the ∂out/∂z accumulation of row i+1
-    pipelined one row behind (it needs both the adjoint and the
-    reconstruction of its row).  Interleaving fills the VPU issue slots a
-    single latency-bound chain leaves empty; a 3-generation primal buffer
-    keeps the three stages alias-free.  The dL/dk seed is folded INTO the
-    top row's sweep so it propagates to the nodes left of (gx, gy).  The
-    backward keeps [8, 128] tiles (its chains already interleave, and the
-    row buffers at [16, 128] would not fit VMEM): its BlockSpecs address
-    the forward's [16, 128] arrays by splitting the sublane dimension —
-    pure index maps, no repacking pass over HBM.
+  * backward (custom VJP): bands top-down, TWO schemes sharing the adjoint
+    recurrence (both keep [8, 128] tiles — their chains already interleave,
+    and the row buffers at [16, 128] would not fit VMEM; BlockSpecs address
+    the forward's [16, 128] arrays by splitting the sublane dimension):
+
+    - ``_bwd_rows_stable`` (general increments — ``_solve_tiled`` and the
+      unfused pair route): per row, three INDEPENDENT chains interleave in
+      one cell loop — adjoint right-to-left, primal row i−1 reconstructed
+      LEFT-to-right by inverting the forward recurrence toward +j (divide
+      by ``a = 1+z/2+z²/12``; contracting for z>0), dz of the previous row
+      pipelined one row behind (reloading its operands from the 3-generation
+      primal buffer).
+    - ``_bwd_rows_fast`` (fused-statics route, RBF statics only): all three
+      chains sweep RIGHT-to-left over one shared cell loop — the primal is
+      reconstructed toward −j (divide by ``b = 1−z²/12``), re-anchored every
+      row at the exact right-edge column the forward stores, so row i's dz
+      operands ĝ[i], k[i], k[i−1] are all register-resident in the same
+      iteration (no dz reloads, 2 primal generations, no trailing-row pass).
+      The −j inversion amplifies within-row rounding by ~Π(a/b) — safe for
+      RBF statics where |z| ≤ 4/4^λ bounds the factor (measured 3e-4 at the
+      flagship shape on device), but drifts at large |z| (~2e-3 at |z|≈0.2), which is
+      why general increments keep the stable scheme.
+
+    The dL/dk seed is folded INTO the top row's sweep so it propagates to
+    the nodes left of (gx, gy).
 
 Specialised to ``dyadic_order == 3`` (the reference maze/MPC setting,
 ``particle_maze_config.yaml:20``); other orders use the MXU block-propagator
@@ -43,16 +54,18 @@ parity ``i & 1 == t_loc & 1`` is then static, which Mosaic requires for
 stores through the buffers' leading index (traced store indices silently
 corrupt the slot selection).
 
-Measured (v5e, chained dispatch so reps cannot pipeline, 131k pairs at the
-H=40 MPC shape): forward bit-exact vs the XLA scan solver, adjoint 8e-5;
-**0.37 µs/pair forward, 1.28 µs/pair forward+backward** — 7x / 2.5x the
-previous single-chain [8, 128] generation of this kernel (2.6 / 3.2) and
-~35x / ~70x the XLA wavefront scan at the same batch (12.5 / 92.8).  The
-fused backward runs at ~9 cycles per fine cell per 1024-pair tile for ~14
-vector instructions across its three chains — near the VPU issue floor, so
-further wins need fewer instructions per cell, not more overlap.  Validated
-against ``solve_goursat_pde_scan`` (values + VJP) in interpret mode on CPU
-(tests/test_pallas_sigkernel.py) and on device at b up to 4096.
+Measured (v5e, in-situ at the flagship MPC shape — 525k upper-triangle
+pairs, H=40 paths, RBF statics fused): **0.42 µs/pair forward (statics +
+checkpoints + right edges) and 0.92 µs/pair backward**, 703 ms per
+Gram+adjoint.  Issue-floor analysis: the backward runs ~14 vector
+instructions per fine cell at an effective ~1.5 issues/cycle — within ~10%
+of the fp32 VPU floor, and the forward is AT its floor, so further wins
+need fewer operations per cell, not better scheduling.  bf16 would double
+the issue width (measured 2.09x on this kernel's forward) but is unusable
+for the 312-step recurrence: 8-bit mantissa rounding compounds to ~1x
+relative error on the values (measured), so fp32 stays the only precision.
+Validated against ``solve_goursat_pde_scan`` (values + VJP) in interpret
+mode on CPU (tests/test_pallas_sigkernel.py) and on device at b up to 4096.
 """
 from __future__ import annotations
 
@@ -82,13 +95,17 @@ def pallas_supported(lx1: int, ly1: int, dyadic_order: int) -> bool:
 
 
 def _bands_per_ck(lx1: int) -> int:
-    """Checkpoint every ``bpc`` bands (largest divisor of lx1 ≤ 6 keeps the
-    reconstruction drift span ≤ 48 fine rows, matching the XLA adjoint)."""
-    best = 1
-    for d in range(1, 7):
-        if lx1 % d == 0:
-            best = d
-    return best
+    """Checkpoint every ``bpc`` bands (≤ 6 keeps the reconstruction drift
+    span ≤ 48 fine rows, matching the XLA adjoint). lx1 need not be a
+    multiple: the forward also stores the final band's row, anchoring the
+    (possibly partial) top group — at the flagship lx1 = 39 this means 7
+    checkpoint slots instead of the 13 a divisor constraint would force
+    (the residual rows are the dominant per-pair HBM state)."""
+    return min(6, lx1)
+
+
+def _n_ck_slots(lx1: int, bpc: int) -> int:
+    return -(-lx1 // bpc)
 
 
 def _coef(z):
@@ -116,6 +133,10 @@ def _band_sweep(ly1, row_ref, a_ref, b_ref):
     Inactive rows (head s < i, tail s − i ≥ ly1) read/write a dedicated
     garbage cell at ``row_ref[G1:]``; their carries are reset to the ones
     boundary when the row reaches cell 0, so junk never enters real cells.
+
+    Returns the final per-row carries ``kl[i] = k[8b+1+i, gy]`` — the band's
+    right-edge column, stored by the grad-path forward as the re-anchor for
+    the backward's right-to-left primal reconstruction.
     """
     gy = ly1 * _M
     garb = gy + 1  # garbage cell offset (slots garb..garb+M-1)
@@ -124,7 +145,7 @@ def _band_sweep(ly1, row_ref, a_ref, b_ref):
     def super_step(s, carry):
         new_carry = []
         for i in range(_M):
-            kl, corner = carry[i]
+            kl0, corner = carry[i]
             c = s - i
             active = jnp.logical_and(c >= 0, c < ly1)
             cc = jnp.clip(c, 0, ly1 - 1)
@@ -132,7 +153,7 @@ def _band_sweep(ly1, row_ref, a_ref, b_ref):
             a = a_ref[cc]
             b = b_ref[cc]
             fresh = c == 0
-            kl = jnp.where(fresh, ones, kl)
+            kl = jnp.where(fresh, ones, kl0)
             corner = jnp.where(fresh, ones, corner)
             old = row_ref[pl.ds(start, _M)]  # k[i-1, 8c+1..8c+8]
             news = []
@@ -141,11 +162,14 @@ def _band_sweep(ly1, row_ref, a_ref, b_ref):
                 corner = old[t]
                 news.append(kl)
             row_ref[pl.ds(start, _M)] = jnp.stack(news)
-            new_carry.append((kl, corner))
+            # freeze the carry once the row has passed its last real cell so
+            # the final kl is exactly k[8b+1+i, gy], not garbage-cell junk
+            new_carry.append((jnp.where(active, kl, kl0), corner))
         return tuple(new_carry)
 
     init = tuple((ones, ones) for _ in range(_M))
-    lax.fori_loop(0, ly1 + _M - 1, super_step, init)
+    out = lax.fori_loop(0, ly1 + _M - 1, super_step, init)
+    return [kl for kl, _ in out]
 
 
 def _fwd_kernel(lx1, ly1, bpc, z_ref, k_ref, ck_ref, row_ref, a_ref, b_ref):
@@ -165,7 +189,7 @@ def _fwd_kernel(lx1, ly1, bpc, z_ref, k_ref, ck_ref, row_ref, a_ref, b_ref):
     a_ref[:], b_ref[:] = _coef(z_ref[0, 0])
     _band_sweep(ly1, row_ref, a_ref, b_ref)
 
-    @pl.when((r + 1) % bpc == 0)
+    @pl.when(((r + 1) % bpc == 0) | (r == lx1 - 1))
     def _():
         ck_ref[0, 0] = row_ref[pl.ds(0, gy + 1)]
 
@@ -205,8 +229,8 @@ def _yn_init(yg_ref, yn_ref):
 _ZS = 1.0 / float(4**_LAM)  # dyadic grid scale on the increments
 
 
-def _fused_fwd_kernel(lx1, ly1, bpc, xg0_ref, xg1_ref, yg_ref, k_ref, ck_ref,
-                      row_ref, a_ref, b_ref, grow_ref, yn_ref):
+def _fused_fwd_kernel(lx1, ly1, bpc, has_rc, xg0_ref, xg1_ref, yg_ref, k_ref,
+                      ck_ref, *rest):
     """Fused-statics forward. Grid (ntiles, lx1); band I consumes path rows
     I (carried static-Gram row in ``grow_ref``) and I+1 (computed here):
     ``z[I, J] = (g[I+1,J+1] − g[I+1,J] − g[I,J+1] + g[I,J]) / 4^λ``.
@@ -215,6 +239,10 @@ def _fused_fwd_kernel(lx1, ly1, bpc, xg0_ref, xg1_ref, yg_ref, k_ref, ck_ref,
     (resident) · grow/yn [Ly, S, 128] scratch. Everything else matches
     :func:`_fwd_kernel`.
     """
+    if has_rc:
+        rc_ref, row_ref, a_ref, b_ref, grow_ref, yn_ref = rest
+    else:
+        rc_ref, (row_ref, a_ref, b_ref, grow_ref, yn_ref) = None, rest
     r = pl.program_id(1)
     gy = ly1 * _M
 
@@ -230,9 +258,15 @@ def _fused_fwd_kernel(lx1, ly1, bpc, xg0_ref, xg1_ref, yg_ref, k_ref, ck_ref,
     z = (gu[1:] - gu[:-1] - gl[1:] + gl[:-1]) * _ZS
     grow_ref[:] = gu
     a_ref[:], b_ref[:] = _coef(z)
-    _band_sweep(ly1, row_ref, a_ref, b_ref)
+    if has_rc:
+        pre = row_ref[gy]
+    carries = _band_sweep(ly1, row_ref, a_ref, b_ref)
+    if has_rc:
+        rc_ref[0, 0, 0] = pre
+        for s in range(1, _M):
+            rc_ref[0, 0, s] = carries[s - 1]
 
-    @pl.when((r + 1) % bpc == 0)
+    @pl.when(((r + 1) % bpc == 0) | (r == lx1 - 1))
     def _():
         ck_ref[0, 0] = row_ref[pl.ds(0, gy + 1)]
 
@@ -294,7 +328,7 @@ def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
     # magnitude slower than multiply on the VPU)
     ai_ref[:] = 1.0 / a_ref[:]
 
-    @pl.when((b + 1) % bpc == 0)
+    @pl.when(((b + 1) % bpc == 0) | (b == lx1 - 1))
     def _():
         # band-top anchor: primal row 8b+8 -> generation 0
         kbuf_ref[0] = ck_ref[0, 0]
@@ -305,7 +339,7 @@ def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
 
     lax.fori_loop(0, ly1, dz_zero, 0)
 
-    _bwd_rows(
+    _bwd_rows_stable(
         ly1, r,
         lambda cc: z_ref[0, 0, cc],
         lambda cc: dz_ref[0, 0, cc],
@@ -314,7 +348,7 @@ def _bwd_kernel(lx1, ly1, bpc, z_ref, ck_ref, gout_ref, dz_ref,
     )
 
 
-def _bwd_rows(ly1, r, z_at, dz_get, dz_set, gout_ref, kbuf_ref, gbuf_ref,
+def _bwd_rows_stable(ly1, r, z_at, dz_get, dz_set, gout_ref, kbuf_ref, gbuf_ref,
               a_ref, b_ref, au_ref, bu_ref, ai_ref):
     """The band's 8-row reverse sweep (see :func:`_bwd_kernel`). ``z_at(cc)``
     reads cell cc's scaled increment; ``dz_get``/``dz_set`` access the dz
@@ -415,6 +449,106 @@ def _bwd_rows(ly1, r, z_at, dz_get, dz_set, gout_ref, kbuf_ref, gbuf_ref,
     lax.fori_loop(0, ly1, dz_last, 0)
 
 
+
+def _bwd_rows_fast(ly1, r, z_at, dz_get, dz_set, rc_at, gout_ref, kbuf_ref,
+              gbuf_ref, a_ref, b_ref, au_ref, bu_ref, bi_ref):
+    """The band's 8-row reverse sweep (see :func:`_bwd_kernel`). ``z_at(cc)``
+    reads cell cc's scaled increment; ``dz_get``/``dz_set`` access the dz
+    accumulator (an output block or a VMEM scratch row); ``rc_at(s)`` reads
+    the band's stored right-edge anchor ``k[8b+s, gy]``.
+
+    All three chains sweep RIGHT-TO-LEFT over one shared cell loop:
+
+      adjoint  ĝ[i,j] = a(i,j+1)·ĝ[i,j+1] + a(i+1,j)·ĝ[i+1,j]
+                         − b(i+1,j+1)·ĝ[i+1,j+1]
+      primal   k[i-1,j-1] = ((k[i,j-1] + k[i-1,j])·a − k[i,j]) / b
+               (the forward recurrence inverted toward −j, re-anchored at
+               the stored right edge every row — so row i's dz operands
+               ĝ[i], k[i], k[i-1] are ALL register-resident in the same
+               iteration)
+      dz       Σ_j ĝ[i,j]·((l+u)(½+z/6) + c·z/6), accumulated per coarse
+               cell with the scalar weights hoisted outside the slot sum.
+
+    vs the previous pipelined layout (adjoint right-to-left, reconstruction
+    left-to-right, dz one row behind reloading ĝ/k from VMEM): the dz stage's
+    ~4M slot loads per cell vanish, the primal buffer needs 2 generations
+    instead of 3 (dz no longer trails), and the separate last-row dz pass
+    and per-band generation copy disappear.
+    """
+    # unrolled over the band's 8 rows, i = 8b+8 - t descending; t is a
+    # Python int so every kbuf/gbuf leading store index is compile-time
+    # static (traced leading store indices silently corrupt slot selection)
+    gy = ly1 * _M
+    ones = jnp.ones_like(gbuf_ref[0, 0])
+    zero = jnp.zeros_like(gbuf_ref[0, 0])
+    for t in range(_M):
+        par = t & 1          # ĝ[i] parity slot
+        top = t == 0         # row i+1 lives in the band above
+        kcur_s = t & 1       # primal row i
+        knew_s = (t + 1) & 1  # reconstructed row i-1
+        kr0 = rc_at(_M - 1 - t)  # k[i-1, gy], row i-1 = 8b + (7-t)
+        # the next row's kc load covers slot gy; the cell loop below only
+        # writes slots 0..gy-1 of the new generation
+        kbuf_ref[knew_s, gy] = kr0
+
+        def fused_cell(w, carry, par=par, top=top, kcur_s=kcur_s,
+                       knew_s=knew_s, t=t):
+            g_right, kr = carry
+            cc = ly1 - 1 - w
+            a_cur = a_ref[cc]
+            b_up = bu_ref[cc] if top else b_ref[cc]
+            a_up = au_ref[cc] if top else a_cur
+            bi = bi_ref[cc]
+            wr = jnp.minimum(cc + 1, ly1 - 1)
+            a_cur_r = a_ref[wr]
+            b_up_r = bu_ref[wr] if top else b_ref[wr]
+
+            kc = kbuf_ref[kcur_s, pl.ds(cc * _M, _M + 1)]  # row i, 8c..8c+8
+            gup = gbuf_ref[1 - par, pl.ds(cc * _M + 1, _M + 1)]  # row i+1
+
+            # ---- adjoint of row i ----------------------------------------
+            gnews = [None] * _M
+            for tt in range(_M - 1, -1, -1):
+                a_r = a_cur_r if tt == _M - 1 else a_cur
+                bu = b_up_r if tt == _M - 1 else b_up
+                g = a_r * g_right + a_up * gup[tt] - bu * gup[tt + 1]
+                if top and tt == _M - 1:
+                    # dL/dk seed at (gx, gy), folded INTO the sweep so it
+                    # reaches the nodes left of gy in the same row
+                    g = g + jnp.where(
+                        (r == 0) & (cc == ly1 - 1), gout_ref[0], 0.0
+                    )
+                gnews[tt] = g
+                g_right = g
+            gbuf_ref[par, pl.ds(cc * _M + 1, _M)] = jnp.stack(gnews)
+
+            # ---- reconstruct primal row i-1 ------------------------------
+            kus = [None] * (_M + 1)  # k[i-1, 8c .. 8c+8]
+            kus[_M] = kr
+            for tt in range(_M - 1, -1, -1):
+                kus[tt] = ((kc[tt] + kus[tt + 1]) * a_cur - kc[tt + 1]) * bi
+            # left boundary of row i-1 is exactly one (cuts the /b drift)
+            kus[0] = jnp.where(cc == 0, ones, kus[0])
+            kbuf_ref[knew_s, pl.ds(cc * _M, _M)] = jnp.stack(kus[:_M])
+
+            # ---- dz of row i at this cell (register-resident operands) ---
+            z = z_at(cc)
+            s1 = gnews[0] * (kc[0] + kus[1])
+            s2 = gnews[0] * kus[0]
+            for tt in range(1, _M):
+                s1 = s1 + gnews[tt] * (kc[tt] + kus[tt + 1])
+                s2 = s2 + gnews[tt] * kus[tt]
+            t1 = z * (1.0 / 6.0)
+            val = (0.5 + t1) * s1 + t1 * s2
+            if t == 0:
+                dz_set(cc, val)
+            else:
+                dz_set(cc, dz_get(cc) + val)
+            return g_right, kus[0]
+
+        lax.fori_loop(0, ly1, fused_cell, (zero, kr0))
+
+
 # ---------------------------------------------------------------------------
 # Fused-statics backward: recompute the static-Gram rows per band, run the
 # reverse sweep with dz in VMEM, and pull dz back to path-tile gradients —
@@ -423,10 +557,10 @@ def _bwd_rows(ly1, r, z_at, dz_get, dz_set, gout_ref, kbuf_ref, gbuf_ref,
 
 
 def _fused_bwd_kernel(lx1, ly1, bpc,
-                      xg0_ref, xg1_ref, yg_ref, ck_ref, gout_ref,
+                      xg0_ref, xg1_ref, yg_ref, rc_ref, ck_ref, gout_ref,
                       dxg_ref, dxg0_ref, dyg_ref,
                       kbuf_ref, gbuf_ref, a_ref, b_ref, au_ref, bu_ref,
-                      ai_ref, zrow_ref, dz_ref, grow_ref, d2row_ref,
+                      bi_ref, zrow_ref, dz_ref, grow_ref, d2row_ref,
                       yn_ref, dgc_ref):
     """Grid (ntiles·NH, lx1), band b = lx1-1-r (descending).
 
@@ -460,25 +594,24 @@ def _fused_bwd_kernel(lx1, ly1, bpc,
     def _():
         au_ref[:] = a_ref[:]
         bu_ref[:] = b_ref[:]
-        kbuf_ref[0] = kbuf_ref[2]
 
     gl, d2l = _g_row(xg0_ref, yg_ref, yn_ref)  # g row b
     gu = grow_ref[:]                            # g row b+1 (carried)
     zrow_ref[:] = (gu[1:] - gu[:-1] - gl[1:] + gl[:-1]) * _ZS
     a_ref[:], b_ref[:] = _coef(zrow_ref[:])
-    ai_ref[:] = 1.0 / a_ref[:]
+    bi_ref[:] = 1.0 / b_ref[:]
 
-    @pl.when((b + 1) % bpc == 0)
+    @pl.when(((b + 1) % bpc == 0) | (b == lx1 - 1))
     def _():
         kbuf_ref[0] = ck_ref[0, 0]
 
-    dz_ref[:] = jnp.zeros_like(dz_ref)
-    _bwd_rows(
+    _bwd_rows_fast(
         ly1, r,
         lambda cc: zrow_ref[cc],
         lambda cc: dz_ref[cc],
         lambda cc, v: dz_ref.__setitem__(cc, v),
-        gout_ref, kbuf_ref, gbuf_ref, a_ref, b_ref, au_ref, bu_ref, ai_ref,
+        lambda s: rc_ref[0, 0, s],
+        gout_ref, kbuf_ref, gbuf_ref, a_ref, b_ref, au_ref, bu_ref, bi_ref,
     )
 
     # ---- statics pull-back for this band ----------------------------------
@@ -547,7 +680,7 @@ def _fwd_call(z, nt, lx1, ly1, with_ck):
     # and store frequency is what avoids streaming dead rows to HBM
     bpc = _bands_per_ck(lx1) if with_ck else lx1
     G1 = ly1 * _M + 1
-    nslots = lx1 // bpc
+    nslots = _n_ck_slots(lx1, bpc)
     kern = partial(_fwd_kernel, lx1, ly1, bpc)
     k, cks = pl.pallas_call(
         kern,
@@ -588,8 +721,9 @@ def _bwd_call(z, cks, g_out, nt, lx1, ly1):
     kern = partial(_bwd_kernel, lx1, ly1, bpc)
 
     def slot(r):
-        b = lx1 - 1 - r
-        return jnp.maximum(0, (b + 1) // bpc - 1)
+        # anchor bands ((b+1)%bpc==0 or the top band) load slot b//bpc;
+        # other bands stream an arbitrary in-range block (unused)
+        return (lx1 - 1 - r) // bpc
 
     dz = pl.pallas_call(
         kern,
@@ -673,9 +807,24 @@ def _fused_fwd_call(xg, yg, with_ck):
     C = xg.shape[2]
     bpc = _bands_per_ck(lx1) if with_ck else lx1
     G1 = ly1 * _M + 1
-    nslots = lx1 // bpc
-    kern = partial(_fused_fwd_kernel, lx1, ly1, bpc)
-    k, cks = pl.pallas_call(
+    nslots = _n_ck_slots(lx1, bpc)
+    kern = partial(_fused_fwd_kernel, lx1, ly1, bpc, with_ck)
+    out_specs = [
+        pl.BlockSpec((1, _S, 128), lambda p, r: (p, 0, 0)),
+        pl.BlockSpec((1, 1, G1, _S, 128), lambda p, r: (p, r // bpc, 0, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nt, _S, 128), xg.dtype),
+        jax.ShapeDtypeStruct((nt, nslots, G1, _S, 128), xg.dtype),
+    ]
+    if with_ck:
+        out_specs.append(
+            pl.BlockSpec((1, 1, _M, _S, 128), lambda p, r: (p, r, 0, 0, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((nt, lx1, _M, _S, 128), xg.dtype)
+        )
+    out = pl.pallas_call(
         kern,
         grid=(nt, lx1),
         in_specs=[
@@ -683,14 +832,8 @@ def _fused_fwd_call(xg, yg, with_ck):
             pl.BlockSpec((1, 1, C, _S, 128), lambda p, r: (p, r + 1, 0, 0, 0)),
             pl.BlockSpec((1, ly, C, _S, 128), lambda p, r: (p, 0, 0, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, _S, 128), lambda p, r: (p, 0, 0)),
-            pl.BlockSpec((1, 1, G1, _S, 128), lambda p, r: (p, r // bpc, 0, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nt, _S, 128), xg.dtype),
-            jax.ShapeDtypeStruct((nt, nslots, G1, _S, 128), xg.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((G1 + _M, _S, 128), xg.dtype),  # row (+garbage cell)
             pltpu.VMEM((ly1, _S, 128), xg.dtype),      # a
@@ -702,11 +845,11 @@ def _fused_fwd_call(xg, yg, with_ck):
         interpret=_interpret(),
     )(xg, xg, yg)
     if with_ck:
-        return k, cks
-    return k
+        return out  # (k, cks, rcs)
+    return out[0]
 
 
-def _fused_bwd_call(xg, yg, cks, g_out):
+def _fused_bwd_call(xg, yg, cks, rcs, g_out):
     nt, lx1 = xg.shape[0], xg.shape[1] - 1
     ly = yg.shape[1]
     ly1 = ly - 1
@@ -717,8 +860,9 @@ def _fused_bwd_call(xg, yg, cks, g_out):
     kern = partial(_fused_bwd_kernel, lx1, ly1, bpc)
 
     def slot(r):
-        b = lx1 - 1 - r
-        return jnp.maximum(0, (b + 1) // bpc - 1)
+        # anchor bands ((b+1)%bpc==0 or the top band) load slot b//bpc;
+        # other bands stream an arbitrary in-range block (unused)
+        return (lx1 - 1 - r) // bpc
 
     dxg_rows, dxg0, dyg = pl.pallas_call(
         kern,
@@ -734,6 +878,10 @@ def _fused_bwd_call(xg, yg, cks, g_out):
             ),
             pl.BlockSpec(
                 (1, ly, C, 8, 128), lambda p, r: (p // _NH, 0, 0, p % _NH, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, _M, 8, 128),
+                lambda p, r: (p // _NH, lx1 - 1 - r, 0, p % _NH, 0),
             ),
             pl.BlockSpec(
                 (1, 1, G1, 8, 128),
@@ -760,13 +908,13 @@ def _fused_bwd_call(xg, yg, cks, g_out):
             jax.ShapeDtypeStruct((nt, ly, C, _S, 128), xg.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, G1, 8, 128), xg.dtype),   # kbuf
+            pltpu.VMEM((2, G1, 8, 128), xg.dtype),   # kbuf
             pltpu.VMEM((2, G2, 8, 128), xg.dtype),   # gbuf
             pltpu.VMEM((ly1, 8, 128), xg.dtype),     # a
             pltpu.VMEM((ly1, 8, 128), xg.dtype),     # b
             pltpu.VMEM((ly1, 8, 128), xg.dtype),     # au
             pltpu.VMEM((ly1, 8, 128), xg.dtype),     # bu
-            pltpu.VMEM((ly1, 8, 128), xg.dtype),     # ai
+            pltpu.VMEM((ly1, 8, 128), xg.dtype),     # bi
             pltpu.VMEM((ly1, 8, 128), xg.dtype),     # zrow
             pltpu.VMEM((ly1, 8, 128), xg.dtype),     # dz
             pltpu.VMEM((ly, 8, 128), xg.dtype),      # grow
@@ -776,7 +924,7 @@ def _fused_bwd_call(xg, yg, cks, g_out):
         ],
         compiler_params=_params(),
         interpret=_interpret(),
-    )(xg, xg, yg, cks, g_out)
+    )(xg, xg, yg, rcs, cks, g_out)
     return jnp.concatenate([dxg0, dxg_rows], axis=1), dyg
 
 
@@ -792,13 +940,13 @@ def _fused_tiled(xg: jax.Array, yg: jax.Array) -> jax.Array:
 
 
 def _fused_tiled_fwd(xg, yg):
-    k, cks = _fused_fwd_call(xg, yg, with_ck=True)
-    return k, (xg, yg, cks)
+    k, cks, rcs = _fused_fwd_call(xg, yg, with_ck=True)
+    return k, (xg, yg, cks, rcs)
 
 
 def _fused_tiled_bwd(res, g_out):
-    xg, yg, cks = res
-    return _fused_bwd_call(xg, yg, cks, g_out)
+    xg, yg, cks, rcs = res
+    return _fused_bwd_call(xg, yg, cks, rcs, g_out)
 
 
 _fused_tiled.defvjp(_fused_tiled_fwd, _fused_tiled_bwd)

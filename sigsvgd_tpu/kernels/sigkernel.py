@@ -666,13 +666,15 @@ class SignatureKernel:
             from .pallas_sigkernel import _bands_per_ck
 
             g1 = (ly1 << lam) + 1
-            nslots = lx1 // _bands_per_ck(lx1)
+            nslots = -(-lx1 // _bands_per_ck(lx1))
             if self._fused_pallas(lx1, ly1, n_channels, h):
                 # fused statics: z/dz never leave VMEM — per-pair HBM is the
-                # gathered path tiles (+ their gradients) and the checkpoint
-                # rows only (~3.5x larger chunks at the flagship MPC shape)
+                # gathered path tiles (+ their gradients), the checkpoint
+                # rows and the right-edge anchors (~3.5x larger chunks at
+                # the flagship MPC shape)
                 per_pair = 4 * 2 * (
-                    2 * (lx1 + 1 + ly1 + 1) * n_channels + nslots * g1
+                    2 * (lx1 + 1 + ly1 + 1) * n_channels
+                    + nslots * g1 + lx1 * (1 << lam)
                 )
             else:
                 # z + dz blocks + streamed checkpoint rows
