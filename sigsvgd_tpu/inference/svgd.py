@@ -64,6 +64,11 @@ def _flat(x: jax.Array) -> jax.Array:
     return x.reshape(x.shape[0], -1)
 
 
+# compiled whole-run solves, keyed by (sampler, score, value_fn, n_steps)
+# identities — see SVGD.run
+_run_jit_cache: dict = {}
+
+
 @dataclasses.dataclass(frozen=True)
 class SVGD:
     """First-order SVGD sampler.
@@ -221,9 +226,29 @@ class SVGD:
             new_carry = (x_new, SVGDState(opt_state, st.step + 1))
             return new_carry, (x_new, loss, score.aux)
 
+        # the whole solve runs under ONE jit: an eager lax.scan executes
+        # compiled but without whole-program buffer donation/aliasing —
+        # measured 2-3x slower per iteration on the remote TPU runtime at
+        # the 1k-particle planning shape. The compiled fn is cached on the
+        # instance per (score_fn, value_fn, n_steps) so repeated runs (e.g.
+        # the flagship 500-iter sweeps over seeds) retrace only once.
+        def solve(particles, state, keys):
+            (x_final, st), (trace, losses, aux) = lax.scan(
+                body, (particles, state), keys
+            )
+            trace = jnp.concatenate([particles[None], trace], axis=0)
+            return x_final, st, trace, losses, aux
+
+        # the cache entry keeps strong references to (self, score_fn,
+        # value_fn) so their ids cannot be recycled onto different objects
+        # while the compiled solve for them is alive
+        cache_key = (id(self), id(score_fn), id(value_fn), n_steps)
+        entry = _run_jit_cache.get(cache_key)
+        if entry is None:
+            entry = (jax.jit(solve), self, score_fn, value_fn)
+            _run_jit_cache[cache_key] = entry
         keys = jax.random.split(key, n_steps)
-        (x_final, state), (trace, losses, aux) = lax.scan(body, (particles, state), keys)
-        trace = jnp.concatenate([particles[None], trace], axis=0)
+        x_final, state, trace, losses, aux = entry[0](particles, state, keys)
         return x_final, state, RunData(trace=trace, loss=losses, aux=aux)
 
     def run_host_loop(
