@@ -13,15 +13,19 @@ global couplings are a handful of collectives per SVGD step —
     kernel gradient back through its own rollouts,
   * ``psum`` for the final softmax policy weights.
 
-Supports ``kernel_mode ∈ {policy, signature}``, the autodiff AND Monte-Carlo
-likelihood-gradient paths (``n_action_samples > 0``), and dynamics-parameter
-samples (``n_params_samples > 0``). Monte-Carlo draws replicate the
-single-device PRNG stream (each shard draws the full eps tensor and slices
-its rows), so results match the single-device :meth:`DuSt.forward` to fp
-tolerance — asserted in tests/test_parallel_dust.py.
+Supports every single-device DuSt feature: all three kernel modes
+(``policy``/``trajectory``/``signature``), the autodiff AND Monte-Carlo
+likelihood-gradient paths (``n_action_samples > 0``), dynamics-parameter
+samples (``n_params_samples > 0``), action primitives (the gradient mask is
+sliced per shard), weighted GMM priors, and the repeat/mean/resample horizon
+rolls. Monte-Carlo and resample-roll draws replicate the single-device PRNG
+stream (each shard draws the full tensor with the shared key and slices its
+rows), so results match the single-device :meth:`DuSt.forward` to fp
+tolerance — asserted per feature in tests/test_parallel_dust.py.
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional, Tuple
 
@@ -49,18 +53,23 @@ def sharded_dust_forward(
     col_axis: Optional[str] = None,
     params_dist: Optional[du.Distribution] = None,
 ) -> Tuple[jax.Array, DuStState]:
-    """Sharded MPC solve. Restrictions (asserted): no action primitives,
-    ``roll_strategy='repeat'``, uniform prior weights; signature mode needs a
-    fixed static-kernel bandwidth (per-shard medians would disagree)."""
-    assert ctrl.kernel_mode in ("policy", "signature")
+    """Sharded MPC solve. Supports every single-device DuSt feature — the
+    three roll strategies, action primitives (gradient mask sliced per
+    shard), weighted prior, and all three kernel modes — with one
+    restriction: trajectory/signature kernels need a FIXED static bandwidth
+    (per-shard median heuristics over row blocks would disagree across the
+    mesh)."""
+    assert ctrl.kernel_mode in ("policy", "trajectory", "signature")
     if ctrl.kernel_mode == "signature":
         assert (
             ctrl.sig_kernel.bandwidth is not None
             or ctrl.sig_kernel.static == "linear"
         ), "sharded signature mode requires a fixed static bandwidth"
-    assert ctrl.n_prim == 0
-    assert ctrl.roll_strategy == "repeat", "sharded DuSt implements 'repeat' only"
-    assert not ctrl.weighted_prior, "sharded DuSt uses uniform prior weights"
+    if ctrl.kernel_mode == "trajectory":
+        assert ctrl.kernel.bandwidth_fn is not None, (
+            "sharded trajectory mode requires a fixed kernel bandwidth "
+            "(bandwidth_fn ignoring its argument)"
+        )
     ndev = mesh.shape[axis]
     assert ctrl.n_total % ndev == 0
     if col_axis is not None:
@@ -90,11 +99,11 @@ def sharded_dust_forward(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis), opt_specs, P()),
+        in_specs=(P(), P(axis), opt_specs, P(), P()),
         out_specs=(P(), P(axis), opt_specs, P(axis)),
         check_rep=False,
     )
-    def solve(state, pol_local, opt_state_local, key):
+    def solve(state, pol_local, opt_state_local, prior_weights, key):
         n_local = pol_local.shape[0]
         row0 = lax.axis_index(axis) * n_local
         # GMM prior is anchored at the solve's INITIAL policies (gathered
@@ -103,6 +112,17 @@ def sharded_dust_forward(
             pol_local.reshape(n_local, -1), axis, tiled=True
         )
         n_total = prior_means.shape[0]
+
+        if ctrl.n_prim > 0:
+            # slice this shard's rows of the action-primitive freeze mask
+            mask_local = lax.dynamic_slice_in_dim(
+                sampler.gradient_mask, row0, n_local, axis=0
+            )
+            local_sampler = dataclasses.replace(
+                sampler, gradient_mask=mask_local
+            )
+        else:
+            local_sampler = sampler
 
         # mirror the single-device key flow exactly (dust.py::forward)
         key2, key_par = jax.random.split(key)
@@ -120,7 +140,10 @@ def sharded_dust_forward(
         all_keys = jax.random.split(key2, opt_steps + 1)
 
         def kernel_terms(pol, trajs, offsets):
-            """Signature-mode Gram block + pull-back gradient (local rows)."""
+            """Trajectory-kernel Gram block + pull-back gradient (local
+            rows): all_gather the τ projections, slice this shard's Gram
+            columns, and differentiate the row-block sum back through the
+            local rollouts."""
             tau_local = ctrl._tau(trajs)
             tau_all = lax.stop_gradient(
                 lax.all_gather(tau_local, axis, tiled=True)
@@ -137,7 +160,16 @@ def sharded_dust_forward(
             def gram_sum(pm):
                 acts = pm if offsets is None else pm[None] + offsets
                 _, tr = ctrl._rollout_costs(state, acts, params_mat)
-                k = ctrl.sig_kernel.gram(ctrl._tau(tr), tau_cols)
+                t = ctrl._tau(tr)
+                if ctrl.kernel_mode == "signature":
+                    k = ctrl.sig_kernel.gram(t, tau_cols)
+                else:  # trajectory: per-dim RBF mean (trajectory_svgd.py:32-47)
+                    k = 0.0
+                    for i in range(t.shape[-1]):
+                        k = k + ctrl.kernel(
+                            t[..., i], tau_cols[..., i], compute_grad=False
+                        )
+                    k = k / t.shape[-1]
                 return jnp.sum(k), k
 
             (_, k_rows), grad_k = jax.value_and_grad(gram_sum, has_aux=True)(pol)
@@ -177,10 +209,10 @@ def sharded_dust_forward(
                 pol.reshape(n_local, -1),
                 prior_means,
                 prior_var,
-                jnp.ones((n_total,), pol.dtype),
+                prior_weights,
             ).reshape(pol.shape)
 
-            if ctrl.kernel_mode == "signature":
+            if ctrl.kernel_mode in ("signature", "trajectory"):
                 k_rows, grad_k = kernel_terms(pol, trajs, offsets)
             else:
                 k_rows = grad_k = None
@@ -192,9 +224,10 @@ def sharded_dust_forward(
                 loss=costs,
             )
             phi, _ = _velocity_local(
-                sampler, pol, score, jnp.zeros((), jnp.int32), axis, col_axis
+                local_sampler, pol, score, jnp.zeros((), jnp.int32), axis,
+                col_axis,
             )
-            pol, opt_st = sampler.apply_update(pol, -phi, opt_st)
+            pol, opt_st = local_sampler.apply_update(pol, -phi, opt_st)
             return (pol, opt_st), costs
 
         (pol, opt_state_local), costs_seq = lax.scan(
@@ -222,12 +255,30 @@ def sharded_dust_forward(
         is_owner = (row0 + best_local == owner_idx).astype(pol.dtype)
         a_seq = lax.psum(pol[best_local] * is_owner, axis)
 
+        # -- horizon roll (mirrors DuSt._roll, ref dust.py:428-444) -------
         rolled = jnp.roll(pol, -1, axis=-2)
-        rolled = rolled.at[..., -1, :].set(rolled[..., -2, :])  # repeat strategy
+        if ctrl.roll_strategy == "repeat":
+            last = rolled[..., -2, :]
+        elif ctrl.roll_strategy == "mean":
+            last = pol.mean(axis=-2)
+        elif ctrl.roll_strategy == "resample":
+            # replicate the single-device draw from the (gathered) GMM prior
+            # with the shared roll key, then slice this shard's rows
+            prior = du.ParticleGMM(
+                means=prior_means, var=prior_var, weights=prior_weights
+            )
+            samp = du.sample(prior, all_keys[opt_steps], (n_total,))
+            samp = samp.reshape(n_total, ctrl.hz_len, ctrl.dim_a)
+            last = lax.dynamic_slice_in_dim(samp, row0, n_local, axis=0)[
+                ..., -1, :
+            ]
+        else:
+            raise ValueError(f"Invalid roll strategy: {ctrl.roll_strategy}")
+        rolled = rolled.at[..., -1, :].set(last)
         return a_seq, rolled, opt_state_local, weights_local
 
     a_seq, new_pol, new_opt_state, weights = solve(
-        state, cstate.pol_mean, opt_state, key
+        state, cstate.pol_mean, opt_state, cstate.prior_weights, key
     )
     if ctrl.roll_opt_state:
         # horizon roll of policy-aligned optimizer leaves (axis -2 is the
@@ -239,7 +290,9 @@ def sharded_dust_forward(
         )
     new_cstate = DuStState(
         pol_mean=new_pol,
-        prior_weights=jnp.ones_like(cstate.prior_weights),
+        prior_weights=(
+            weights if ctrl.weighted_prior else jnp.ones_like(weights)
+        ),
         svgd_state=SVGDState(
             opt_state=new_opt_state, step=cstate.svgd_state.step + opt_steps
         ),

@@ -186,3 +186,115 @@ def test_sharded_dust_rolls_opt_state():
         np.testing.assert_allclose(
             np.asarray(ls), np.asarray(lp), rtol=1e-3, atol=1e-4
         )
+
+
+# --------------------------------------------------------------------------
+# Lifted restrictions (VERDICT r2 item 4): every single-device DuSt feature
+# must match shard-for-shard.
+# --------------------------------------------------------------------------
+
+
+def _assert_forward_parity(ctrl, key=None, opt_steps=2, state=None,
+                           rtol=1e-3, atol=1e-4, prims=None):
+    key = jax.random.PRNGKey(7) if key is None else key
+    cstate = ctrl.init(key, action_primitives=prims)
+    state = jnp.asarray([jnp.pi, 0.0]) if state is None else state
+    a_single, cs_single, _ = ctrl.forward(
+        state, cstate, None, key, opt_steps=opt_steps
+    )
+    mesh = make_mesh()
+    a_shard, cs_shard = sharded_dust_forward(
+        ctrl, state, cstate, key, opt_steps, mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(a_single), np.asarray(a_shard), rtol=rtol, atol=atol
+    )
+    np.testing.assert_allclose(
+        np.asarray(cs_single.pol_mean), np.asarray(cs_shard.pol_mean),
+        rtol=rtol, atol=atol,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cs_single.prior_weights), np.asarray(cs_shard.prior_weights),
+        rtol=rtol, atol=atol,
+    )
+    return cs_single, cs_shard
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("strategy", ["mean", "resample"])
+def test_sharded_dust_roll_strategies(strategy):
+    """mean/resample horizon rolls replicate the single-device draw
+    (ref dust.py:428-444)."""
+    import dataclasses
+
+    ctrl = dataclasses.replace(_controller(), roll_strategy=strategy)
+    _assert_forward_parity(ctrl)
+
+
+@pytest.mark.slow
+def test_sharded_dust_weighted_prior():
+    """weighted_prior=True: softmax policy weights feed the next GMM prior
+    and the in-solve prior gradient (ref dust.py:414-426)."""
+    import dataclasses
+
+    ctrl = dataclasses.replace(_controller(), weighted_prior=True)
+    cstate, _ = _assert_forward_parity(ctrl)
+    # weights must be non-uniform for the test to mean anything
+    w = np.asarray(cstate.prior_weights)
+    assert w.std() > 1e-6
+
+    # a second solve consumes the non-uniform prior weights
+    ctrl2 = ctrl
+    key = jax.random.PRNGKey(8)
+    state = jnp.asarray([jnp.pi - 0.3, 0.1])
+    a_single, cs_single, _ = ctrl2.forward(state, cstate, None, key, opt_steps=2)
+    mesh = make_mesh()
+    a_shard, cs_shard = sharded_dust_forward(ctrl2, state, cstate, key, 2, mesh)
+    np.testing.assert_allclose(
+        np.asarray(a_single), np.asarray(a_shard), rtol=1e-3, atol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_sharded_dust_action_primitives():
+    """Frozen action primitives: the gradient mask is sliced per shard, so
+    primitive rows never move (ref dust.py:141-142,199-213)."""
+    model = PendulumModel(dt=0.05)
+    ctrl = DuSt(
+        model=model,
+        hz_len=10,
+        n_pol=12,
+        n_prim=4,
+        kernel_mode="policy",
+        kernel=GaussianKernel(),
+        optimizer=optax.adam(0.1),
+        inst_cost_fn=model.swingup_inst_cost,
+        term_cost_fn=model.swingup_term_cost,
+    )
+    prims = jnp.zeros((4, 10, 1)).at[:, :, 0].set(
+        jnp.linspace(-1.0, 1.0, 4)[:, None]
+    )
+    cs_single, cs_shard = _assert_forward_parity(ctrl, prims=prims)
+    # primitives stay frozen on both paths (up to the horizon roll)
+    rolled = np.roll(np.asarray(prims), -1, axis=-2)
+    rolled[..., -1, :] = rolled[..., -2, :]
+    np.testing.assert_allclose(np.asarray(cs_shard.pol_mean)[:4], rolled,
+                               atol=1e-6)
+
+
+@pytest.mark.slow
+def test_sharded_dust_trajectory_kernel():
+    """kernel_mode='trajectory' (per-dim RBF on rollout projections, ref
+    trajectory_svgd.py:32-47) with a fixed bandwidth."""
+    model = PendulumModel(dt=0.05)
+    ctrl = DuSt(
+        model=model,
+        hz_len=8,
+        n_pol=16,
+        kernel_mode="trajectory",
+        kernel=GaussianKernel(bandwidth_fn=lambda _: jnp.float32(2.0)),
+        optimizer=optax.adam(0.1),
+        inst_cost_fn=model.swingup_inst_cost,
+        term_cost_fn=model.swingup_term_cost,
+    )
+    _assert_forward_parity(ctrl, rtol=2e-3, atol=2e-4)
