@@ -52,13 +52,30 @@ def sharded_dust_forward(
     axis: str = "dp",
     col_axis: Optional[str] = None,
     params_dist: Optional[du.Distribution] = None,
+    gram_mode: str = "auto",
 ) -> Tuple[jax.Array, DuStState]:
     """Sharded MPC solve. Supports every single-device DuSt feature — the
     three roll strategies, action primitives (gradient mask sliced per
     shard), weighted prior, and all three kernel modes — with one
     restriction: trajectory/signature kernels need a FIXED static bandwidth
     (per-shard median heuristics over row blocks would disagree across the
-    mesh)."""
+    mesh).
+
+    ``gram_mode`` selects the signature-Gram decomposition (all numerically
+    identical up to fp summation order — asserted in
+    tests/test_parallel_dust.py):
+
+      * ``"triangle"`` (the 1-D auto default): balanced upper-triangle
+        blocks — halves the PDE work vs full row blocks, matching the
+        single chip's symmetric solve; see :func:`triangle_terms` inside.
+      * ``"ring"``: ring-attention-style ppermute pipelining — the Gram is
+        computed in ``ndev`` column-chunk blocks while the (τ, score)
+        chunks rotate around the mesh; each collective-permute moves only
+        ``N/ndev`` rows and is independent of that step's block solve, so
+        XLA's collective pipeliner overlaps transfer with PDE compute
+        (the all_gather it replaces sits on the critical path).
+      * ``"gather"``: all_gather τ up front, solve full ``[n_local, N]``
+        (or 2-D ``[n_local, N/sp]`` with ``col_axis``) row blocks."""
     assert ctrl.kernel_mode in ("policy", "trajectory", "signature")
     if ctrl.kernel_mode == "signature":
         assert (
@@ -69,6 +86,18 @@ def sharded_dust_forward(
         assert ctrl.kernel.bandwidth_fn is not None, (
             "sharded trajectory mode requires a fixed kernel bandwidth "
             "(bandwidth_fn ignoring its argument)"
+        )
+    if gram_mode == "auto":
+        gram_mode = (
+            "triangle"
+            if ctrl.kernel_mode == "signature" and col_axis is None
+            else "gather"
+        )
+    assert gram_mode in ("gather", "ring", "triangle")
+    if gram_mode in ("ring", "triangle"):
+        assert ctrl.kernel_mode == "signature" and col_axis is None, (
+            "ring/triangle Gram decompositions apply to the 1-D sharded "
+            "signature mode"
         )
     ndev = mesh.shape[axis]
     assert ctrl.n_total % ndev == 0
@@ -175,6 +204,120 @@ def sharded_dust_forward(
             (_, k_rows), grad_k = jax.value_and_grad(gram_sum, has_aux=True)(pol)
             return k_rows, grad_k
 
+        def ring_terms(pol, trajs, offsets, s_local):
+            """Ring-pipelined signature Gram: ``ks = Σ_c K(τ_rows, τ_c) s_c``
+            accumulated while the (τ, score) chunks rotate over ``axis`` —
+            no all_gather; each permute overlaps the next block's PDE solve.
+            Returns (ks [n_local, D], repulsion grad ∂Σk/∂pol)."""
+
+            def tau_of(pm):
+                acts = pm if offsets is None else pm[None] + offsets
+                _, tr = ctrl._rollout_costs(state, acts, params_mat)
+                return ctrl._tau(tr)
+
+            tau_rows, vjp_tau = jax.vjp(tau_of, pol)
+            perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+            def ring_step(carry, _):
+                chunk_tau, chunk_s, ks, dtau = carry
+                k_blk, vjp_blk = jax.vjp(
+                    lambda tr: ctrl.sig_kernel.gram(tr, chunk_tau), tau_rows
+                )
+                ks = ks + k_blk @ chunk_s
+                (d,) = vjp_blk(jnp.ones_like(k_blk))
+                dtau = dtau + d
+                chunk_tau = lax.ppermute(chunk_tau, axis, perm)
+                chunk_s = lax.ppermute(chunk_s, axis, perm)
+                return (chunk_tau, chunk_s, ks, dtau), None
+
+            ks0 = jnp.zeros((n_local, s_local.shape[1]), pol.dtype)
+            (_, _, ks, dtau), _ = lax.scan(
+                ring_step,
+                (
+                    lax.stop_gradient(tau_rows),
+                    s_local,
+                    ks0,
+                    jnp.zeros_like(tau_rows),
+                ),
+                None,
+                length=ndev,
+            )
+            (grad_k,) = vjp_tau(dtau)
+            return ks, grad_k
+
+        def triangle_terms(pol, trajs, offsets, s_local):
+            """Balanced upper-triangle block Gram (the sharded default).
+
+            The Gram is symmetric, and the single-chip solve exploits that
+            (upper-triangle pairs only) — a full-row-block sharding
+            therefore does 2x the single-chip PDE work and caps scaling
+            efficiency at 0.5. Here the triangle's pair work is split into
+            g(g+1)/2 equal blocks over ``g = 2·ndev`` row groups, assigned
+            round-robin: per-device work ≈ ceil(g(g+1)/2/ndev)·(N/g)² pairs
+            — within ~6% of the ideal N²/(2·ndev) at ndev ≥ 4. Each block
+            (a, b) is ONE PDE solve whose value feeds the K@s row-sums of
+            BOTH groups (k @ s_b and kᵀ @ s_a) and whose two-argument vjp
+            yields both groups' repulsion cotangents; contributions
+            accumulate into full-size buffers, one psum reduces them, and
+            each device pulls its own rows back through its local rollout
+            vjp."""
+
+            def tau_of(pm):
+                acts = pm if offsets is None else pm[None] + offsets
+                _, tr = ctrl._rollout_costs(state, acts, params_mat)
+                return ctrl._tau(tr)
+
+            tau_rows, vjp_tau = jax.vjp(tau_of, pol)
+            tau_all = lax.stop_gradient(
+                lax.all_gather(tau_rows, axis, tiled=True)
+            )
+            s_all = lax.all_gather(s_local, axis, tiled=True)
+
+            g = 2 * ndev if n_total % (2 * ndev) == 0 else ndev
+            ng = n_total // g
+            blocks = [(a, b) for a in range(g) for b in range(a, g)]
+            per_dev = [[] for _ in range(ndev)]
+            for i, blk in enumerate(blocks):
+                per_dev[i % ndev].append(blk + (1.0,))
+            maxb = max(len(lst) for lst in per_dev)
+            for lst in per_dev:
+                while len(lst) < maxb:
+                    lst.append((0, 0, 0.0))  # dummy block, zero weight
+            A = jnp.asarray([[e[0] for e in lst] for lst in per_dev])
+            B = jnp.asarray([[e[1] for e in lst] for lst in per_dev])
+            W = jnp.asarray(
+                [[e[2] for e in lst] for lst in per_dev], pol.dtype
+            )
+            di = lax.axis_index(axis)
+
+            def acc_add(acc, i0, delta):
+                cur = lax.dynamic_slice_in_dim(acc, i0, ng, 0)
+                return lax.dynamic_update_slice_in_dim(acc, cur + delta, i0, 0)
+
+            ks_acc = jnp.zeros_like(s_all)
+            dtau_acc = jnp.zeros_like(tau_all)
+            for j in range(maxb):
+                a = A[di, j] * ng
+                b = B[di, j] * ng
+                w = W[di, j]
+                wb = w * (a != b)  # diagonal blocks contribute once
+                ta = lax.dynamic_slice_in_dim(tau_all, a, ng, 0)
+                tb = lax.dynamic_slice_in_dim(tau_all, b, ng, 0)
+                sa = lax.dynamic_slice_in_dim(s_all, a, ng, 0)
+                sb = lax.dynamic_slice_in_dim(s_all, b, ng, 0)
+                k_blk, vjp_blk = jax.vjp(ctrl.sig_kernel.gram, ta, tb)
+                da, db = vjp_blk(jnp.ones_like(k_blk))
+                ks_acc = acc_add(ks_acc, a, w * (k_blk @ sb))
+                ks_acc = acc_add(ks_acc, b, wb * (k_blk.T @ sa))
+                dtau_acc = acc_add(dtau_acc, a, w * da)
+                dtau_acc = acc_add(dtau_acc, b, wb * db)
+            ks_acc = lax.psum(ks_acc, axis)
+            dtau_acc = lax.psum(dtau_acc, axis)
+            ks = lax.dynamic_slice_in_dim(ks_acc, row0, n_local, 0)
+            dtau = lax.dynamic_slice_in_dim(dtau_acc, row0, n_local, 0)
+            (grad_k,) = vjp_tau(dtau)
+            return ks, grad_k
+
         def svgd_step(carry, step_key):
             pol, opt_st = carry
 
@@ -212,21 +355,42 @@ def sharded_dust_forward(
                 prior_weights,
             ).reshape(pol.shape)
 
-            if ctrl.kernel_mode in ("signature", "trajectory"):
-                k_rows, grad_k = kernel_terms(pol, trajs, offsets)
+            if gram_mode in ("ring", "triangle") and ctrl.kernel_mode == "signature":
+                # velocity assembled inline: ring_terms fuses the K @ s
+                # row-sum with the chunk rotation, so there is no gathered
+                # score matrix for _velocity_local to consume
+                s_full = grad_pri + grad_lik
+                if local_sampler.log_prior is not None:
+                    s_full = s_full + jax.grad(
+                        lambda xx: jnp.sum(local_sampler.log_prior(xx))
+                    )(pol)
+                sf = s_full.reshape(n_local, -1)
+                terms = ring_terms if gram_mode == "ring" else triangle_terms
+                ks, grad_kp = terms(pol, trajs, offsets, sf)
+                gk = grad_kp.reshape(n_local, -1)
+                if local_sampler.repulsion_schedule is not None:
+                    gk = gk * local_sampler.repulsion_schedule(
+                        jnp.zeros((), jnp.int32)
+                    )
+                phi = ((ks - gk) / n_total).reshape(pol.shape)
+                if local_sampler.gradient_mask is not None:
+                    phi = phi * local_sampler.gradient_mask
             else:
-                k_rows = grad_k = None
+                if ctrl.kernel_mode in ("signature", "trajectory"):
+                    k_rows, grad_k = kernel_terms(pol, trajs, offsets)
+                else:
+                    k_rows = grad_k = None
 
-            score = ScoreResult(
-                grad_log_p=grad_pri + grad_lik,
-                k_xx=k_rows,
-                grad_k=grad_k,
-                loss=costs,
-            )
-            phi, _ = _velocity_local(
-                local_sampler, pol, score, jnp.zeros((), jnp.int32), axis,
-                col_axis,
-            )
+                score = ScoreResult(
+                    grad_log_p=grad_pri + grad_lik,
+                    k_xx=k_rows,
+                    grad_k=grad_k,
+                    loss=costs,
+                )
+                phi, _ = _velocity_local(
+                    local_sampler, pol, score, jnp.zeros((), jnp.int32), axis,
+                    col_axis,
+                )
             pol, opt_st = local_sampler.apply_update(pol, -phi, opt_st)
             return (pol, opt_st), costs
 
@@ -307,6 +471,7 @@ def make_sharded_mpc_step(
     axis: str = "dp",
     col_axis: Optional[str] = None,
     params_dist: Optional[du.Distribution] = None,
+    gram_mode: str = "auto",
 ):
     """Jitted closed-loop step: sharded solve + environment transition."""
 
@@ -314,7 +479,7 @@ def make_sharded_mpc_step(
     def step(state, cstate, key):
         a_seq, cstate = sharded_dust_forward(
             ctrl, state, cstate, key, opt_steps, mesh, axis, col_axis,
-            params_dist,
+            params_dist, gram_mode,
         )
         nxt = ctrl.model.step(state[None], a_seq[0:1])[0]
         return nxt, cstate, a_seq
