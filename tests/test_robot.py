@@ -185,3 +185,137 @@ def test_all_scene_tags_build_and_generate_requests():
         assert np.isfinite(sdf).all(), tag
         reqs = default_requests(robot, tag, n=2)
         assert len(reqs) == 2, f"{tag}: could not find free request endpoints"
+
+
+# ---------------------------------------------------------------------------
+# Robodata (MoveIt-format) importer — reference robot_scene.py:203-246,325-385
+# ---------------------------------------------------------------------------
+
+
+def test_moveit_importer_round_trip(tmp_path):
+    """Synthetic MoveIt-format fixtures (the reference's published robodata
+    format) load verbatim into Scene/PathRequest/trajectory arrays; the
+    imported scene's SDF reflects the composed poses."""
+    import math
+
+    import yaml
+
+    from sigsvgd_tpu.models.robot import (
+        load_moveit_request, load_moveit_scene, load_moveit_trajectory,
+    )
+    from sigsvgd_tpu.models.robot.scene import scene_sdf
+
+    # 45-degree yaw quaternion [x, y, z, w]
+    s, c = math.sin(math.pi / 8), math.cos(math.pi / 8)
+    scene_doc = {
+        "world": {
+            "collision_objects": [
+                {
+                    "id": "shelf",
+                    "pose": {
+                        "position": [0.5, 0.0, 0.0],
+                        "orientation": [0.0, 0.0, s, c],
+                    },
+                    "primitives": [
+                        {"type": "box", "dimensions": [0.4, 0.2, 0.1]},
+                        {"type": "cylinder", "dimensions": [0.6, 0.05]},
+                    ],
+                    "primitive_poses": [
+                        {"position": [0.0, 0.0, 0.3],
+                         "orientation": [0.0, 0.0, 0.0, 1.0]},
+                        {"position": [0.0, 0.3, 0.3],
+                         "orientation": [0.0, 0.0, 0.0, 1.0]},
+                    ],
+                },
+                {
+                    "id": "ball",
+                    "pose": {
+                        "position": [0.0, 0.0, 0.0],
+                        "orientation": [0.0, 0.0, 0.0, 1.0],
+                    },
+                    "primitives": [{"type": "sphere", "dimensions": [0.1]}],
+                    "primitive_poses": [
+                        {"position": [-0.4, 0.2, 0.5],
+                         "orientation": [0.0, 0.0, 0.0, 1.0]},
+                    ],
+                },
+            ]
+        }
+    }
+    spath = tmp_path / "demo-scene0001.yaml"
+    spath.write_text(yaml.safe_dump(scene_doc))
+    scene = load_moveit_scene(spath)
+    assert scene.name == "demo-scene0001"
+    assert len(scene.primitives) == 3
+    box, cyl, sph = scene.primitives
+    assert box.kind == "box" and box.size == (0.4, 0.2, 0.1)
+    # MoveIt cylinder dims [height, radius] -> (radius, half_height)
+    assert cyl.kind == "cylinder" and cyl.size == (0.05, 0.3)
+    # composed pose: base yaw rotates the primitive offset
+    np.testing.assert_allclose(box.position, (0.5, 0.0, 0.3), atol=1e-9)
+    np.testing.assert_allclose(
+        cyl.position,
+        (0.5 - 0.3 * math.sin(math.pi / 4), 0.3 * math.cos(math.pi / 4), 0.3),
+        atol=1e-9,
+    )
+    # SDF sanity: the sphere's center is inside, far point outside
+    d = np.asarray(scene_sdf(scene, jnp.asarray(
+        [[-0.4, 0.2, 0.5], [-0.9, -0.9, 1.4]], jnp.float32)))
+    assert d[0] < 0.0 < d[1]
+
+    # request: start joint order differs and includes extra (finger) joints
+    req_doc = {
+        "start_state": {"joint_state": {
+            "name": ["panda_joint2", "panda_joint1", "panda_finger_joint1"],
+            "position": [0.2, 0.1, 0.03],
+        }},
+        "goal_constraints": [{"joint_constraints": [
+            {"joint_name": "panda_joint1", "position": 0.5},
+            {"joint_name": "panda_joint2", "position": -0.4},
+        ]}],
+    }
+    rpath = tmp_path / "demo-scene0001_request0001.yaml"
+    rpath.write_text(yaml.safe_dump(req_doc))
+    req = load_moveit_request(rpath, joint_names=["panda_joint1", "panda_joint2"])
+    assert req.start == (0.1, 0.2)
+    assert req.target == (0.5, -0.4)
+
+    # trajectory with joint reordering
+    traj_doc = {"joint_trajectory": {
+        "joint_names": ["panda_joint2", "panda_joint1"],
+        "points": [
+            {"positions": [0.2, 0.1]},
+            {"positions": [0.25, 0.15]},
+        ],
+    }}
+    tpath = tmp_path / "demo-scene0001_path0001.yaml"
+    tpath.write_text(yaml.safe_dump(traj_doc))
+    traj = load_moveit_trajectory(tpath, joint_names=["panda_joint1", "panda_joint2"])
+    np.testing.assert_allclose(traj, [[0.1, 0.2], [0.15, 0.25]], atol=1e-7)
+
+
+def test_moveit_importer_embedded_mesh(tmp_path):
+    """Embedded vertex/triangle meshes become posed STL MeshObstacles."""
+    import yaml
+
+    from sigsvgd_tpu.models.robot import load_moveit_scene
+
+    verts = [[0.0, 0.0, 0.0], [0.1, 0.0, 0.0], [0.0, 0.1, 0.0], [0.0, 0.0, 0.1]]
+    tris = [[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]]
+    doc = {"world": {"collision_objects": [{
+        "id": "rock",
+        "pose": {"position": [0.3, 0.0, 0.2],
+                 "orientation": [0.0, 0.0, 0.0, 1.0]},
+        "meshes": [{"vertices": verts, "triangles": tris}],
+        "mesh_poses": [{"position": [0.0, 0.0, 0.0],
+                        "orientation": [0.0, 0.0, 0.0, 1.0]}],
+    }]}}
+    spath = tmp_path / "mesh-scene0001.yaml"
+    spath.write_text(yaml.safe_dump(doc))
+    scene = load_moveit_scene(spath, mesh_dir=tmp_path)
+    assert len(scene.meshes) == 1
+    mo = scene.meshes[0]
+    assert mo.position == (0.3, 0.0, 0.2)
+    raw = open(mo.path, "rb").read()
+    n_tris = int(np.frombuffer(raw[80:84], np.uint32)[0])
+    assert n_tris == 4
