@@ -95,6 +95,40 @@ def test_plots_render(tmp_path):
     assert len(frames) == 3
 
 
+def test_interactive_viewer_export(tmp_path):
+    """Standalone-HTML 3-D viewer (counterpart of the reference's plotly
+    robot_visualizer.py:10-76 + RobotScene.play animation)."""
+    import json as jsonlib
+    import re
+
+    from sigsvgd_tpu.models.robot import get_scene
+    from sigsvgd_tpu.utils.viewer import export_interactive_html, scene_wireframe
+
+    scene = get_scene("bookshelf_small")
+    segs = scene_wireframe(scene)
+    assert len(segs) >= 12 * len(scene.primitives) // 2  # boxes dominate
+    for s in segs[:3]:
+        assert np.asarray(s).shape[-1] == 3
+
+    frames = np.cumsum(np.random.rand(5, 8, 3) * 0.1, axis=1)  # animated arm
+    ee = np.random.rand(4, 10, 3)
+    out = export_interactive_html(
+        tmp_path / "view.html", scene=scene, arm_frames=frames,
+        ee_trajectories=ee, points=np.random.rand(20, 3),
+        title="test scene",
+    )
+    html = out.read_text()
+    assert html.startswith("<!DOCTYPE html>") and "test scene" in html
+    data = jsonlib.loads(re.search(r"const D = (\{.*?\});\n", html).group(1))
+    assert len(data["frames"]) == 5 and len(data["ee"]) == 4
+    assert len(data["scene"]) == len(segs)
+    assert data["radius"] > 0
+
+    # sceneless export with static arms only (no animation bar)
+    out2 = export_interactive_html(tmp_path / "arm.html", arms=frames[:1])
+    assert "display:none" in out2.read_text().replace(" ", "")
+
+
 def test_svgd_with_lbfgs_optimizer():
     """LBFGS direction scaling as the SVGD optimizer (replaces the
     reference's 1200-line vendored src/LBFGS.py)."""
