@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..controllers.dust import DuSt, DuStState
 from ..inference.svgd import ScoreResult, SVGDState
@@ -130,7 +130,7 @@ def sharded_dust_forward(
         mesh=mesh,
         in_specs=(P(), P(axis), opt_specs, P(), P()),
         out_specs=(P(), P(axis), opt_specs, P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     def solve(state, pol_local, opt_state_local, prior_weights, key):
         n_local = pol_local.shape[0]

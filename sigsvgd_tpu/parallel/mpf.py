@@ -21,7 +21,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..inference.mpf import MPF, MPFState
@@ -57,7 +57,7 @@ def sharded_mpf_observe(
         mesh=mesh,
         in_specs=(P(axis), P(), P(), P()),
         out_specs=(P(axis), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def run(x_local, prior_means, prior_var, cond_arrs):
         cond_in = type(cond)(*cond_arrs)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..inference.svgd import SVGD, RunData, ScoreResult
 from ..kernels import SignatureKernel
@@ -167,7 +167,7 @@ def sharded_svgd_run(
         mesh=mesh,
         in_specs=(P(axis), P()),
         out_specs=(P(axis), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def run_local(x_local, keys):
         state = svgd.init(x_local)
