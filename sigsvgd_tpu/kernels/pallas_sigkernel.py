@@ -549,6 +549,95 @@ def _bwd_rows_fast(ly1, r, z_at, dz_get, dz_set, rc_at, gout_ref, kbuf_ref,
         lax.fori_loop(0, ly1, fused_cell, (zero, kr0))
 
 
+def _bwd_rows_fast_bf16(ly1, r, zh_ref, zhu_ref, dz_ref, rc_at, gout_ref,
+                        kbuf_ref, gbuf_ref):
+    """bf16 DELTA-FORM variant of :func:`_bwd_rows_fast` (opt-in via
+    ``SignatureKernel(grad_precision='bf16')``): all three chains carry the
+    SMALL inter-row differences in packed bf16 — 2048 pairs per [16, 128]
+    vreg, double the fp32 issue width.
+
+    Why naive bf16 fails and delta form works: the recurrences compute
+    values ≈ their neighbours plus O(z) increments with |z| ~ 1e-3 — far
+    below bf16's quantum around 1.0 — so rounding the near-1 coefficients
+    (or the cancelling sums) destroys the z-information entirely (measured
+    ~0.8 relative error). Carrying the differences themselves keeps every
+    bf16 quantity at full RELATIVE precision:
+
+      adjoint   ρ[i,j] = ĝ[i,j] − ĝ[i+1,j]
+                ρ[j] = ρ[j+1] + zh_r·ĝ[i+1,j+1] + zh_u·ĝ[i+1,j]
+                ĝ[i,j] = ĝ[i+1,j] + ρ[j]
+      primal    σ[j] = k[i−1,j] − k[i,j]   (re-anchored at the fp32
+                σ[j−1] = σ[j] + zh·(k[i,j−1] + k[i,j])     right edge)
+                k[i−1,j−1] = k[i,j−1] + σ[j−1]
+      dz        Σ_j ĝ·(k[i,j−1] + k[i−1,j]),  ×0.5 at the fp32 upconvert
+
+    First order in z: the dropped z² terms are ≤ z/3 ≈ 1e-3 relative —
+    far below the scheme's own bf16 drift. Accuracy at the flagship MPC
+    shape vs the fp64 oracle (tmp_sim study, committed in the accuracy
+    doc): value/adjoint drift ~3-6%, dz ~5-7% — SVGD-gradient grade, NOT
+    value grade; the forward (values, checkpoints, anchors) stays fp32.
+    """
+    bf = jnp.bfloat16
+    gy = ly1 * _M
+    zero = jnp.zeros_like(gbuf_ref[0, 0])
+    for t in range(_M):
+        par = t & 1
+        top = t == 0
+        kcur_s = t & 1
+        knew_s = (t + 1) & 1
+        kr0 = rc_at(_M - 1 - t).astype(bf)  # k[i-1, gy], fp32 anchor
+        sig0 = kr0 - kbuf_ref[kcur_s, gy]   # σ[gy]
+        kbuf_ref[knew_s, gy] = kr0
+
+        def fused_cell(w, carry, par=par, top=top, kcur_s=kcur_s,
+                       knew_s=knew_s, t=t):
+            rho_c, sig_c = carry  # delta carries: ρ at node j+1, σ at node j+1
+            cc = ly1 - 1 - w
+            zh = zh_ref[cc]
+            zhu = zhu_ref[cc] if top else zh
+            wr = jnp.minimum(cc + 1, ly1 - 1)
+            zh_r = zh_ref[wr]
+
+            kc = kbuf_ref[kcur_s, pl.ds(cc * _M, _M + 1)]   # row i
+            gup = gbuf_ref[1 - par, pl.ds(cc * _M + 1, _M + 1)]  # row i+1
+
+            rho, sig = rho_c, sig_c
+            gnews = [None] * _M
+            kus = [None] * _M
+            s1 = None
+            for tt in range(_M - 1, -1, -1):
+                z1 = zh_r if tt == _M - 1 else zh
+                # adjoint delta
+                rho = rho + z1 * gup[tt + 1] + zhu * gup[tt]
+                if top and tt == _M - 1:
+                    rho = rho + jnp.where(
+                        (r == 0) & (cc == ly1 - 1),
+                        gout_ref[0].astype(bf), zero,
+                    )
+                g = gup[tt] + rho
+                gnews[tt] = g
+                # primal delta + dz (m1 uses the INCOMING σ = σ[j])
+                s = kc[tt] + kc[tt + 1]
+                m1 = s + sig
+                s1 = g * m1 if s1 is None else s1 + g * m1
+                sig = sig + zh * s
+                if tt == 0:
+                    # left boundary of row i-1 is exactly one -> σ(0) = 0
+                    sig = jnp.where(cc == 0, zero, sig)
+                kus[tt] = kc[tt] + sig
+            gbuf_ref[par, pl.ds(cc * _M + 1, _M)] = jnp.stack(gnews)
+            kbuf_ref[knew_s, pl.ds(cc * _M, _M)] = jnp.stack(kus)
+
+            val = s1.astype(jnp.float32) * 0.5
+            if t == 0:
+                dz_ref[cc] = val
+            else:
+                dz_ref[cc] = dz_ref[cc] + val
+            return rho, sig
+
+        lax.fori_loop(0, ly1, fused_cell, (zero, sig0))
+
+
 # ---------------------------------------------------------------------------
 # Fused-statics backward: recompute the static-Gram rows per band, run the
 # reverse sweep with dz in VMEM, and pull dz back to path-tile gradients —
@@ -633,6 +722,79 @@ def _fused_bwd_kernel(lx1, ly1, bpc,
     @pl.when(r == lx1 - 1)
     def _():
         # g row 0: its dg has only band 0's −e contribution (the carry)
+        dd20 = jnp.where(d2l > 0.0, dgc_ref[:] * (-gl), 0.0)
+        sd0 = jnp.sum(dd20, axis=0)
+        for c in range(C):
+            yc = yg_ref[0, :, c]
+            x0c = xg0_ref[0, 0, c]
+            dxg0_ref[0, 0, c] = 2.0 * (x0c * sd0 - jnp.sum(dd20 * yc, axis=0))
+            dyg_ref[0, :, c] = dyg_ref[0, :, c] + 2.0 * (yc - x0c) * dd20
+
+
+def _fused_bwd_kernel_bf16(lx1, ly1, bpc,
+                           xg0_ref, xg1_ref, yg_ref, rc_ref, ck_ref, gout_ref,
+                           dxg_ref, dxg0_ref, dyg_ref,
+                           kbuf_ref, gbuf_ref, zh_ref, zhu_ref, dz_ref,
+                           grow_ref, d2row_ref, yn_ref, dgc_ref):
+    """bf16 delta-form twin of :func:`_fused_bwd_kernel`. Grid (nt, lx1) on
+    FULL [16, 128] tiles (the packed-bf16 sweep processes 2048 pairs per
+    vreg, so the forward's tile needs no sublane split); statics, dz and the
+    RBF pull-back stay fp32 — only the three per-cell recurrence chains and
+    their row buffers are bf16."""
+    r = pl.program_id(1)
+    b = lx1 - 1 - r
+    C = yg_ref.shape[2]
+
+    @pl.when(r == 0)
+    def _():
+        gbuf_ref[:] = jnp.zeros_like(gbuf_ref)
+        zhu_ref[:] = jnp.zeros_like(zhu_ref)
+        _yn_init(yg_ref, yn_ref)
+        gu0, d2u0 = _g_row(xg1_ref, yg_ref, yn_ref)  # g row lx1
+        grow_ref[:] = gu0
+        d2row_ref[:] = d2u0
+        dgc_ref[:] = jnp.zeros_like(dgc_ref)
+        dyg_ref[0] = jnp.zeros_like(dyg_ref[0])
+        dxg0_ref[0, 0] = jnp.zeros_like(dxg0_ref[0, 0])
+
+    @pl.when(r != 0)
+    def _():
+        zhu_ref[:] = zh_ref[:]
+
+    gl, d2l = _g_row(xg0_ref, yg_ref, yn_ref)  # g row b
+    gu = grow_ref[:]                            # g row b+1 (carried)
+    z = (gu[1:] - gu[:-1] - gl[1:] + gl[:-1]) * _ZS
+    zh_ref[:] = (z * 0.5).astype(jnp.bfloat16)
+
+    @pl.when(((b + 1) % bpc == 0) | (b == lx1 - 1))
+    def _():
+        kbuf_ref[0] = ck_ref[0, 0].astype(jnp.bfloat16)
+
+    _bwd_rows_fast_bf16(
+        ly1, r,
+        zh_ref, zhu_ref,
+        dz_ref,
+        lambda s: rc_ref[0, 0, s],
+        gout_ref, kbuf_ref, gbuf_ref,
+    )
+
+    # ---- statics pull-back for this band (identical to the fp32 kernel) --
+    dz = dz_ref[:]
+    e = jnp.concatenate([-dz[:1], dz[:-1] - dz[1:], dz[-1:]], axis=0) * _ZS
+    dgu = dgc_ref[:] + e
+    dd2 = jnp.where(d2row_ref[:] > 0.0, dgu * (-gu), 0.0)
+    sd = jnp.sum(dd2, axis=0)
+    for c in range(C):
+        yc = yg_ref[0, :, c]
+        x1c = xg1_ref[0, 0, c]
+        dxg_ref[0, 0, c] = 2.0 * (x1c * sd - jnp.sum(dd2 * yc, axis=0))
+        dyg_ref[0, :, c] = dyg_ref[0, :, c] + 2.0 * (yc - x1c) * dd2
+    dgc_ref[:] = -e
+    grow_ref[:] = gl
+    d2row_ref[:] = d2l
+
+    @pl.when(r == lx1 - 1)
+    def _():
         dd20 = jnp.where(d2l > 0.0, dgc_ref[:] * (-gl), 0.0)
         sd0 = jnp.sum(dd20, axis=0)
         for c in range(C):
@@ -928,6 +1090,67 @@ def _fused_bwd_call(xg, yg, cks, rcs, g_out):
     return jnp.concatenate([dxg0, dxg_rows], axis=1), dyg
 
 
+def _fused_bwd_call_bf16(xg, yg, cks, rcs, g_out):
+    """bf16 delta-form backward launch: full-tile grid ``(nt, lx1)`` (no
+    sublane split — the packed sweep covers 2048 pairs/vreg), checkpoints
+    converted to bf16 on the XLA side so the streamed anchor blocks don't
+    double the fp32 VMEM bill."""
+    nt, lx1 = xg.shape[0], xg.shape[1] - 1
+    ly = yg.shape[1]
+    ly1 = ly - 1
+    C = xg.shape[2]
+    bpc = _bands_per_ck(lx1)
+    G1 = ly1 * _M + 1
+    G2 = G1 + _M
+    kern = partial(_fused_bwd_kernel_bf16, lx1, ly1, bpc)
+    cks16 = cks.astype(jnp.bfloat16)
+
+    def slot(r):
+        return (lx1 - 1 - r) // bpc
+
+    dxg_rows, dxg0, dyg = pl.pallas_call(
+        kern,
+        grid=(nt, lx1),
+        in_specs=[
+            pl.BlockSpec((1, 1, C, _S, 128),
+                         lambda p, r: (p, lx1 - 1 - r, 0, 0, 0)),
+            pl.BlockSpec((1, 1, C, _S, 128),
+                         lambda p, r: (p, lx1 - r, 0, 0, 0)),
+            pl.BlockSpec((1, ly, C, _S, 128), lambda p, r: (p, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, _M, _S, 128),
+                         lambda p, r: (p, lx1 - 1 - r, 0, 0, 0)),
+            pl.BlockSpec((1, 1, G1, _S, 128),
+                         lambda p, r: (p, slot(r), 0, 0, 0)),
+            pl.BlockSpec((1, _S, 128), lambda p, r: (p, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, C, _S, 128),
+                         lambda p, r: (p, lx1 - 1 - r, 0, 0, 0)),
+            pl.BlockSpec((1, 1, C, _S, 128), lambda p, r: (p, 0, 0, 0, 0)),
+            pl.BlockSpec((1, ly, C, _S, 128), lambda p, r: (p, 0, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, lx1, C, _S, 128), xg.dtype),
+            jax.ShapeDtypeStruct((nt, 1, C, _S, 128), xg.dtype),
+            jax.ShapeDtypeStruct((nt, ly, C, _S, 128), xg.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, G1, _S, 128), jnp.bfloat16),  # kbuf
+            pltpu.VMEM((2, G2, _S, 128), jnp.bfloat16),  # gbuf
+            pltpu.VMEM((ly1, _S, 128), jnp.bfloat16),    # zh (current band)
+            pltpu.VMEM((ly1, _S, 128), jnp.bfloat16),    # zh (band above)
+            pltpu.VMEM((ly1, _S, 128), jnp.float32),     # dz
+            pltpu.VMEM((ly, _S, 128), jnp.float32),      # grow
+            pltpu.VMEM((ly, _S, 128), jnp.float32),      # d2row
+            pltpu.VMEM((ly, _S, 128), jnp.float32),      # yn
+            pltpu.VMEM((ly, _S, 128), jnp.float32),      # dgc
+        ],
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(xg, xg, yg, rcs, cks16, g_out)
+    return jnp.concatenate([dxg0, dxg_rows], axis=1), dyg
+
+
 @jax.custom_vjp
 def _fused_tiled(xg: jax.Array, yg: jax.Array) -> jax.Array:
     """PDE solve on pre-scaled path tiles ``xg [nt, Lx, C, S, 128]``,
@@ -952,6 +1175,28 @@ def _fused_tiled_bwd(res, g_out):
 _fused_tiled.defvjp(_fused_tiled_fwd, _fused_tiled_bwd)
 
 
+@jax.custom_vjp
+def _fused_tiled_bf16grad(xg: jax.Array, yg: jax.Array) -> jax.Array:
+    """Same VALUES as :func:`_fused_tiled` (the fp32 forward is shared);
+    the VJP runs the packed-bf16 delta-form adjoint — ~5-7% gradient error
+    (SVGD-grade, see the accuracy study) at roughly half the backward
+    wall-clock. Select via ``SignatureKernel(grad_precision='bf16')``."""
+    return _fused_fwd_call(xg, yg, with_ck=False)
+
+
+def _fused_tiled_bf16grad_fwd(xg, yg):
+    k, cks, rcs = _fused_fwd_call(xg, yg, with_ck=True)
+    return k, (xg, yg, cks, rcs)
+
+
+def _fused_tiled_bf16grad_bwd(res, g_out):
+    xg, yg, cks, rcs = res
+    return _fused_bwd_call_bf16(xg, yg, cks, rcs, g_out)
+
+
+_fused_tiled_bf16grad.defvjp(_fused_tiled_bf16grad_fwd, _fused_tiled_bf16grad_bwd)
+
+
 def fused_supported(lx1: int, ly1: int, dyadic_order: int, n_channels: int,
                     static: str, h) -> bool:
     # channel bound: yg + its dyg accumulator + the carried static rows add
@@ -965,7 +1210,7 @@ def fused_supported(lx1: int, ly1: int, dyadic_order: int, n_channels: int,
     )
 
 
-def pallas_pair_gram_fused(X, Y, ix, iy, h) -> jax.Array:
+def pallas_pair_gram_fused(X, Y, ix, iy, h, grad_precision: str = "fp32") -> jax.Array:
     """Fused-statics signature-kernel values for a pair list (RBF statics).
 
     Same contract as :func:`pallas_pair_values` (``P % 2048 == 0``; padded
@@ -985,7 +1230,8 @@ def pallas_pair_gram_fused(X, Y, ix, iy, h) -> jax.Array:
         g = g.reshape(nt, _S, 128, paths.shape[1], paths.shape[2])
         return jnp.transpose(g, (0, 3, 4, 1, 2))
 
-    return _fused_tiled(tile(Xs, ix), tile(Ys, iy)).reshape(-1)
+    solve = _fused_tiled_bf16grad if grad_precision == "bf16" else _fused_tiled
+    return solve(tile(Xs, ix), tile(Ys, iy)).reshape(-1)
 
 
 def pallas_pair_values(X, Y, ix, iy, h) -> jax.Array:

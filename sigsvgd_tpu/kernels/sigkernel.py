@@ -564,6 +564,13 @@ class SignatureKernel:
     # unchanged). On TPU, "default" at dyadic ≥ 6 dispatches to the Pallas
     # hop-chain kernel (pallas_mxu_chain.py). Tests pin "highest".
     mxu_precision: str = "highest"
+    # Adjoint precision for the Pallas fused-statics route (the MPC/dyadic-3
+    # flagship path). "fp32": exact discrete adjoint (~1e-4 vs the fp64
+    # oracle). "bf16": packed first-order delta-form adjoint — ~5-7%
+    # gradient error (SVGD-grade; values are unaffected, the forward stays
+    # fp32) at roughly half the backward wall-clock. See
+    # docs/bf16_adjoint_study.md for the accuracy study.
+    grad_precision: str = "fp32"
 
     def _solver_kind(self, lx1: int, ly1: int) -> str:
         if self.solver == "mxu_pallas":
@@ -783,7 +790,9 @@ class SignatureKernel:
                 # RBF statics + increments computed inside the Pallas
                 # kernels: the per-pair HBM traffic drops from O(L²) z/dz
                 # grids to O(L·C) path tiles + checkpoint rows
-                return pallas_pair_gram_fused(X, Y, ixc, iyc, hh)
+                return pallas_pair_gram_fused(
+                    X, Y, ixc, iyc, hh, grad_precision=self.grad_precision
+                )
             return pallas_pair_values(X, Y, ixc, iyc, hh)
 
         # trajectory channel counts are tiny (2-7): a [c,p,2]x[c,q,2]

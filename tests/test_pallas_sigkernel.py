@@ -147,6 +147,35 @@ def test_fused_statics_mpc_shape(rng):
     )
 
 
+@pytest.mark.slow
+def test_bf16_delta_adjoint_matches_fp32(rng):
+    """Opt-in packed-bf16 delta-form adjoint (grad_precision='bf16'):
+    identical VALUES (the fp32 forward is shared) and SVGD-grade gradients
+    — ~10% worst-case relative error at this tiny shape, 3.5% measured at
+    the flagship MPC shape on device (docs/bf16_adjoint_study.md)."""
+    from sigsvgd_tpu.kernels.pallas_sigkernel import _P, pallas_pair_gram_fused
+
+    n, L, C = 6, 5, 2
+    X = 0.4 * jnp.asarray(
+        np.cumsum(rng.standard_normal((n, L, C)), 1).astype(np.float32))
+    ix = jnp.asarray(rng.integers(0, n, _P).astype(np.int32))
+    iy = jnp.asarray(rng.integers(0, n, _P).astype(np.int32))
+    h = jnp.float32(2.0)
+    g = jnp.asarray(rng.standard_normal(_P).astype(np.float32))
+
+    v32, vjp32 = jax.vjp(lambda x: pallas_pair_gram_fused(x, x, ix, iy, h), X)
+    v16, vjp16 = jax.vjp(
+        lambda x: pallas_pair_gram_fused(x, x, ix, iy, h,
+                                         grad_precision="bf16"), X)
+    np.testing.assert_array_equal(np.asarray(v16), np.asarray(v32))
+    (d32,), (d16,) = vjp32(g), vjp16(g)
+    d32, d16 = np.asarray(d32), np.asarray(d16)
+    rel = np.linalg.norm(d16 - d32) / np.linalg.norm(d32)
+    cos = (d16 * d32).sum() / (np.linalg.norm(d16) * np.linalg.norm(d32))
+    assert rel < 0.25, rel
+    assert cos > 0.98, cos
+
+
 def test_pallas_supported_bounds_vmem():
     """Eligibility must reject path lengths whose row buffers exceed VMEM
     (review r2: the [16,128] forward doubled the footprint; long dyadic-3
