@@ -223,6 +223,68 @@ def bench_stages(n_iters=6):
     return {"rollout_cost_grad_ms": t_roll * 1e3, "sig_gram_adjoint_ms": t_gram * 1e3}
 
 
+def bench_planning_iter(n_iters=6):
+    """Steady-state seconds/iteration of the flagship open-loop planning
+    workload — 1024 knot particles × [3 free knots, 7 dof], pathsig kernel at
+    dyadic order 6 (``script_planning_robot.py:509-531`` scaled to the 1k
+    particle count the r2 flagship sweep uses). Tracked per VERDICT r3 item
+    7 so regressions in the planning pipeline are caught by the driver."""
+    import jax
+    import jax.numpy as jnp
+
+    from sigsvgd_tpu.experiments.planning import (
+        PlannerConfig, PlanningProblem, run_optimisation, sdf_occupancy,
+    )
+    from sigsvgd_tpu.inference import SVGD
+    from sigsvgd_tpu.inference.score import pathsig_score
+    from sigsvgd_tpu.kernels import SignatureKernel
+    from sigsvgd_tpu.utils import schedulers
+
+    robot = _STATE["robot"]
+    scene_occ = sdf_occupancy(
+        __import__("sigsvgd_tpu.models.robot", fromlist=["get_scene"]).get_scene(
+            "bookshelf_small"
+        )
+    )
+    problem = PlanningProblem(
+        robot=robot,
+        q_start=_STATE["q_start"],
+        q_target=jnp.asarray([1.2, 0.6, -0.4, -1.2, 0.3, 1.8, 0.5]),
+        occupancy_fn=scene_occ,
+    )
+    cfg = PlannerConfig(batch=1024)
+    kernel = SignatureKernel(
+        dyadic_order=cfg.depth, bandwidth=cfg.pathsig_bw,
+        mxu_precision=cfg.mxu_precision,
+    )
+    score = pathsig_score(problem.batch_cost, kernel)
+    lower, upper = robot.joint_limits()
+    from sigsvgd_tpu.utils.math import smoothed_box_log_prob
+
+    svgd = SVGD(
+        lr=cfg.lr,
+        log_prior=lambda x: smoothed_box_log_prob(x, lower, upper, 0.1).sum(-1),
+        repulsion_schedule=schedulers.cosine(
+            1.0, 0.0, 3 * cfg.n_iter // 4, cfg.n_iter // 4
+        ),
+    )
+    key = jax.random.PRNGKey(2)
+    x0 = jax.random.uniform(
+        key, (cfg.batch, cfg.length - 2, robot.dof), minval=lower, maxval=upper
+    )
+    state0 = svgd.init(x0)
+
+    @jax.jit
+    def step(carry):
+        x, st = carry
+        x, st = svgd.step_update(x, st, score(x, key))
+        return (x, st), jnp.sum(x)
+
+    dt = _timed_chain(step, (x0, state0), n_iters,
+                      x0_timed=(x0 + 1e-3, state0))
+    return dt
+
+
 # ---------------------------------------------------------------------------
 # Torch-CPU baselines (the reference's execution model).
 # ---------------------------------------------------------------------------
@@ -343,33 +405,53 @@ def bench_torch_cpu_signature(n_small: int = 32) -> float:
     return time.perf_counter() - t0
 
 
-def bench_torch_cpu_signature_fit(sizes=(8, 16, 32)):
+def bench_torch_cpu_signature_fit(sizes=(8, 16, 24, 32, 48, 64)):
     """Measure the torch-CPU signature solve at several particle counts and
     fit ``log(dt) = a + e·log(pairs)`` (VERDICT r2 item 7: one measured point
-    does not establish linearity). Returns a dict with the measured points,
-    the fitted pair-count exponent, and the solves/s extrapolated to N_POL
-    from the largest measured point using the fitted exponent. fp64 PDE
-    backward at n=128 needs ~100 GB of autograd storage, so 64 is the
-    largest honestly measurable size on this host."""
+    does not establish linearity; VERDICT r3 item 6: ≥5 points for a stable
+    exponent). Returns a dict with the measured points, the fitted pair-count
+    exponent (with a per-point leave-one-out spread as the confidence band),
+    and the solves/s extrapolated to N_POL from the largest measured point.
+    fp64 PDE backward at n=128 needs ~100 GB of autograd storage, so 64 is
+    the largest honestly measurable size on this host."""
     import math
 
     points = []
+    raw_dts = []
     for n in sizes:
         dt = bench_torch_cpu_signature(n)
+        raw_dts.append((n, dt))
         points.append({"n_particles": n, "solve_s": round(dt, 3)})
         if dt > 300.0:  # don't let one more doubling eat the bench budget
             break
-    xs = [math.log(p["n_particles"] ** 2) for p in points]
-    ys = [math.log(p["solve_s"]) for p in points]
-    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-    exponent = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
-        (x - mx) ** 2 for x in xs
-    )
-    n_last, dt_last = points[-1]["n_particles"], points[-1]["solve_s"]
+
+    def fit(samples):
+        xs = [math.log(n * n) for n, _ in samples]
+        ys = [math.log(dt) for _, dt in samples]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+
+    # fit on the RAW durations (ADVICE r3: rounded values can hit log(0)),
+    # and only when >= 2 points were measured; otherwise fall back to the
+    # pair-count (exponent 1) extrapolation
+    if len(raw_dts) >= 2:
+        exponent = fit(raw_dts)
+        loo = (
+            [fit(raw_dts[:i] + raw_dts[i + 1 :]) for i in range(len(raw_dts))]
+            if len(raw_dts) >= 3
+            else [exponent]
+        )
+        exp_band = [round(min(loo), 3), round(max(loo), 3)]
+    else:
+        exponent, exp_band = 1.0, None
+    n_last, dt_last = raw_dts[-1]
     dt_big = dt_last * ((N_POL * N_POL) / (n_last * n_last)) ** exponent
     return {
         "points": points,
         "pair_exponent": round(exponent, 3),
+        "pair_exponent_loo_band": exp_band,
         "extrapolated_rate_at_n_pol": 1.0 / dt_big,
         "measured_rate_at_largest": 1.0 / dt_last,
         "largest_n": n_last,
@@ -400,16 +482,30 @@ def main():
     # the fp64 torch baseline was DIRECTLY measured at (no extrapolation)
     vs_measured_scale = None
     if cpu_sig is not None:
-        ctrl_small = dataclasses.replace(_STATE["ctrl_sig"], n_pol=cpu_sig["largest_n"])
-        small_rate, _dt, _fl = max(
-            (bench_solver(ctrl_small, n_iters=10) for _ in range(2)),
-            key=lambda r: r[0],
-        )
-        vs_measured_scale = {
-            "n_particles": cpu_sig["largest_n"],
-            "tpu_solves_per_s": round(small_rate, 2),
-            "ratio": round(small_rate / cpu_sig["measured_rate_at_largest"], 1),
-        }
+        # guarded: a failure at the small shape must not discard the
+        # expensive measurements above (ADVICE r3)
+        try:
+            ctrl_small = dataclasses.replace(
+                _STATE["ctrl_sig"], n_pol=cpu_sig["largest_n"]
+            )
+            small_rate, _dt, _fl = max(
+                (bench_solver(ctrl_small, n_iters=10) for _ in range(2)),
+                key=lambda r: r[0],
+            )
+            vs_measured_scale = {
+                "n_particles": cpu_sig["largest_n"],
+                "tpu_solves_per_s": round(small_rate, 2),
+                "ratio": round(
+                    small_rate / cpu_sig["measured_rate_at_largest"], 1
+                ),
+            }
+        except Exception:
+            vs_measured_scale = None
+
+    try:
+        plan_iter_s = bench_planning_iter()
+    except Exception:
+        plan_iter_s = None
 
     total_flops = (sig_flops or 0.0) + _pde_flops_per_solve()
     mfu = total_flops * sig_rate / V5E_PEAK_FLOPS
@@ -431,12 +527,18 @@ def main():
                 "baseline_pair_exponent": (
                     cpu_sig["pair_exponent"] if cpu_sig else None
                 ),
+                "baseline_pair_exponent_loo_band": (
+                    cpu_sig["pair_exponent_loo_band"] if cpu_sig else None
+                ),
                 "vs_baseline_measured_scale": vs_measured_scale,
                 "secondary_policy_rbf_solves_per_s": round(rbf_rate, 2),
                 "secondary_vs_torch_cpu": (
                     round(rbf_rate / cpu_rbf_rate, 2) if cpu_rbf_rate else None
                 ),
                 "stages_ms": {k: round(v, 2) for k, v in stages.items()},
+                "planning_s_per_iter_1kpart_depth6": (
+                    round(plan_iter_s, 4) if plan_iter_s else None
+                ),
                 "flops_per_solve": total_flops,
                 "mfu_vs_bf16_peak": round(mfu, 4),
             }

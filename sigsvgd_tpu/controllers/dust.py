@@ -308,10 +308,25 @@ class DuSt:
             # per-dimension RBF on trajectory projections, grads via AD
             # (trajectory_svgd.py:32-47)
             def mean_gram(pm):
+                from ..utils.math import bw_median_diff, pw_dist_sq
+
                 t = tau_of(pm)
                 k = 0.0
                 for i in range(t.shape[-1]):
-                    k = k + self.kernel(t[..., i], ref[..., i], compute_grad=False)
+                    h = None
+                    if self.kernel.bandwidth_fn is None:
+                        # median bandwidth with the row-major gradient
+                        # tie-break (bw_median_diff): the symmetric distance
+                        # matrix always duplicates its median, and pinning
+                        # which twin carries the gradient makes this path
+                        # reproducible by the sharded solver
+                        h = bw_median_diff(
+                            pw_dist_sq(t[..., i], ref[..., i]),
+                            self.kernel.bw_scale,
+                        )
+                    k = k + self.kernel(
+                        t[..., i], ref[..., i], h=h, compute_grad=False
+                    )
                 k = k / t.shape[-1]
                 return jnp.sum(k), k
 

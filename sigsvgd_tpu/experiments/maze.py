@@ -52,6 +52,10 @@ class MazeConfig:
     mpf_learning_rate: float = 0.01
     mpf_bandwidth: float = 0.5
     mpf_obs_std: float = 0.1
+    # >0: run the MPF observe-update sharded over a 1-D 'dp' mesh of this
+    # many devices (parallel.mpf.sharded_mpf_observe); mpf_n_particles must
+    # divide it. 0 = single-device MPF.
+    mpf_mesh_devices: int = 0
     dyn_prior_mean: float = 2.0
     dyn_prior_std: float = 0.1
     dt: float = 0.015
@@ -195,11 +199,28 @@ def run_episode(
         reached = jnp.linalg.norm(model.target - nxt) <= 1.0
         return action, nxt, cstate, data, inst_cost, crashed, reached
 
-    mpf_observe = (
-        jax.jit(lambda st, a, obs: mpf.observe(st, a, obs, n_steps=cfg.mpf_steps))
-        if mpf
-        else None
-    )
+    if mpf and cfg.mpf_mesh_devices > 0:
+        # online dynamics inference over the mesh: the same observe-update,
+        # particles sharded over 'dp' (ref mpf.py:64-86 semantics preserved
+        # to fp tolerance — tests/test_parallel_mpf.py)
+        from ..parallel.mesh import make_mesh
+        from ..parallel.mpf import sharded_mpf_observe
+
+        mpf_mesh = make_mesh(
+            [cfg.mpf_mesh_devices], ("dp",),
+            devices=jax.devices()[: cfg.mpf_mesh_devices],
+        )
+        mpf_observe = jax.jit(
+            lambda st, a, obs: sharded_mpf_observe(
+                mpf, st, a, obs, mpf_mesh, n_steps=cfg.mpf_steps
+            )
+        )
+    elif mpf:
+        mpf_observe = jax.jit(
+            lambda st, a, obs: mpf.observe(st, a, obs, n_steps=cfg.mpf_steps)
+        )
+    else:
+        mpf_observe = None
 
     states, actions, costs, dyn_particles = [np.asarray(state)], [], [], []
     reached_goal = False
@@ -339,6 +360,9 @@ def main():
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--episodes", type=int, default=1)
     parser.add_argument("--use-mpf", action="store_true")
+    parser.add_argument("--mpf-mesh-devices", type=int, default=0,
+                        help="shard the MPF observe-update over a 'dp' mesh "
+                        "of this many devices (0 = single device)")
     parser.add_argument("--out", default=None)
     parser.add_argument("--live-plot", default=None, metavar="PNG",
                         help="stream per-step cost curves to this PNG")
@@ -346,7 +370,7 @@ def main():
 
     cfg = MazeConfig(
         kernel=args.kernel, steps=args.steps, use_mpf=args.use_mpf,
-        live_plot=args.live_plot,
+        mpf_mesh_devices=args.mpf_mesh_devices, live_plot=args.live_plot,
     )
     for ep, seed in enumerate(generate_seeds(args.episodes)):
         result = run_episode(cfg, seed, verbose=True)

@@ -30,31 +30,68 @@ from ..inference.svgd import SVGD, RunData, ScoreResult
 from ..kernels import SignatureKernel
 
 
-def distributed_median(vals_local: jax.Array, axis, iters: int = 40) -> jax.Array:
-    """Exact-to-fp32 median of values sharded over ``axis``.
+def _axes(axis) -> tuple:
+    return tuple(axis) if isinstance(axis, (tuple, list)) else (axis,)
 
-    Bisection on the value range with psum'd rank counts: ~``iters`` scalar
-    all-reduces instead of gathering the full tensor. Returns the LOWER of
-    the two middle order statistics for even counts — ``torch.median``'s
-    convention, matching ``utils.math.bw_median`` — so the sharded bandwidth
-    matches the single-device one bit-for-bit up to fp tolerance.
+
+def distributed_median(vals_local: jax.Array, axis, iters: int = 40) -> jax.Array:
+    """Exact median of values sharded over ``axis`` (one mesh-axis name or a
+    tuple for 2-D pair-grid shards).
+
+    Bisection on the value range with psum'd rank counts — ~``iters`` scalar
+    all-reduces instead of gathering the full tensor — then a SNAP to the
+    smallest element strictly above the bisection's lower bound, which by the
+    loop invariant ``count(≤lo) ≤ k < count(≤hi)`` is exactly the kth order
+    statistic once the interval has collapsed. Returns the LOWER of the two
+    middle order statistics for even counts — ``torch.median``'s convention,
+    matching ``utils.math.bw_median``.
     """
+    ax = _axes(axis)
     v = vals_local.reshape(-1)
-    n_total = lax.psum(v.shape[0], axis)
+    n_total = lax.psum(v.shape[0], ax)
     k = (n_total - 1) // 2  # 0-indexed lower-middle order statistic
 
-    lo = lax.pmin(jnp.min(v), axis)
-    hi = lax.pmax(jnp.max(v), axis)
+    # lo starts strictly below the minimum so the invariant count(≤lo) ≤ k
+    # holds from the first step (an all-equal tensor would otherwise never
+    # move the bounds)
+    lo = lax.pmin(jnp.min(v), ax) - 1.0
+    hi = lax.pmax(jnp.max(v), ax)
 
     def body(_, carry):
         lo, hi = carry
         mid = 0.5 * (lo + hi)
-        cnt = lax.psum(jnp.sum(v <= mid), axis)
+        cnt = lax.psum(jnp.sum(v <= mid), ax)
         go_down = cnt >= k + 1  # kth order stat lies at or below mid
         return jnp.where(go_down, lo, mid), jnp.where(go_down, mid, hi)
 
-    lo, hi = lax.fori_loop(0, iters, body, (lo, hi))
-    return hi
+    lo, _hi = lax.fori_loop(0, iters, body, (lo, hi))
+    inf = jnp.asarray(jnp.inf, v.dtype)
+    cand = jnp.min(jnp.where(v > lo, v, inf))
+    return lax.pmin(cand, ax)
+
+
+def distributed_median_diff(vals_local: jax.Array, axis,
+                            iters: int = 40) -> jax.Array:
+    """Differentiable sharded median: :func:`distributed_median` provides the
+    VALUE; the gradient is routed through one owning element (re-selected by
+    value; lowest mesh position wins cross-shard ties) — matching the
+    single-device ``jnp.partition``-median, whose gradient flows to the
+    selected element (``utils.math.bw_median`` under ``value_and_grad``, as
+    the reference's trajectory kernel differentiates through its bandwidth).
+    """
+    ax = _axes(axis)
+    v = vals_local.reshape(-1)
+    vs = lax.stop_gradient(v)
+    med = distributed_median(vs, axis, iters)
+    has = jnp.any(vs == med)
+    pos = jnp.zeros((), jnp.int32)
+    for a in ax:
+        pos = pos * lax.psum(1, a) + lax.axis_index(a)
+    ndev_total = lax.psum(1, ax)
+    owner = lax.pmin(jnp.where(has, pos, ndev_total), ax)
+    idx = jnp.argmax(vs == med)  # first local match
+    sel = jnp.where(pos == owner, v[idx], jnp.zeros((), v.dtype))
+    return lax.psum(sel, ax)
 
 
 def _velocity_local(

@@ -11,6 +11,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def safe_norm(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
@@ -80,8 +81,38 @@ def bw_median(sq_dists: jax.Array, bw_scale: float = 1.0, tol: float = 1e-8) -> 
     flat = sq_dists.reshape(-1)
     k = (flat.shape[0] - 1) // 2
     med = jnp.partition(flat, k)[k]
+    return bw_from_median(med, n, bw_scale, tol)
+
+
+def bw_from_median(med: jax.Array, n: int, bw_scale: float = 1.0,
+                   tol: float = 1e-8) -> jax.Array:
+    """``h = bw_scale * sqrt(med / log(n + 1))`` clamped to ``tol`` — the
+    bandwidth formula of :func:`bw_median` applied to an externally computed
+    median (the sharded kernels compute it with a distributed bisection)."""
     h2 = med / jnp.log(n + 1.0)
     return jnp.maximum(bw_scale * jnp.sqrt(h2), tol)
+
+
+def bw_median_diff(sq_dists: jax.Array, bw_scale: float = 1.0,
+                   tol: float = 1e-8) -> jax.Array:
+    """:func:`bw_median` with a DEFINED gradient tie-break.
+
+    Same value, but the gradient is routed through the FIRST element (in
+    row-major order) equal to the median. A pairwise-distance matrix always
+    carries the median value twice (d²[i,j] = d²[j,i]), and which twin
+    ``jnp.partition``'s subgradient lands on is an XLA implementation detail
+    — torch breaks the same tie differently too (see the fixed-bandwidth
+    notes in tests/test_reference_parity.py). Pinning the choice row-major
+    makes the single-device gradient reproducible AND identical to the
+    sharded ``parallel.svgd.distributed_median_diff`` (whose owner rule is
+    lowest shard, then local row-major)."""
+    n = sq_dists.shape[0]
+    flat = sq_dists.reshape(-1)
+    fs = lax.stop_gradient(flat)
+    k = (fs.shape[0] - 1) // 2
+    med_val = jnp.partition(fs, k)[k]
+    idx = jnp.argmax(fs == med_val)
+    return bw_from_median(flat[idx], n, bw_scale, tol)
 
 
 def bw_silverman(x: jax.Array, bw_scale: float = 1.0) -> jax.Array:

@@ -372,3 +372,125 @@ def test_sharded_dust_flagship_path_shape_identity():
         np.asarray(cs_shard.pol_mean), np.asarray(cs_single.pol_mean),
         rtol=2e-3, atol=2e-4,
     )
+
+
+@pytest.mark.slow
+def test_sharded_dust_signature_median_bandwidth():
+    """bandwidth=None (median heuristic, ref _kernels.py:31-42): the sharded
+    modes rebuild the single-device ``_subsampled_bandwidth`` from the
+    gathered τ, so the fixed-bandwidth restriction is lifted (VERDICT r3
+    item 4). All three Gram decompositions must match the single device."""
+    from sigsvgd_tpu.kernels import SignatureKernel
+
+    model = PendulumModel(dt=0.05)
+    ctrl = DuSt(
+        model=model,
+        hz_len=8,
+        n_pol=16,
+        kernel_mode="signature",
+        sig_kernel=SignatureKernel(dyadic_order=2),  # median bandwidth
+        optimizer=optax.adam(0.1),
+        inst_cost_fn=model.swingup_inst_cost,
+        term_cost_fn=model.swingup_term_cost,
+    )
+    key = jax.random.PRNGKey(8)
+    cstate = ctrl.init(key)
+    state = jnp.asarray([jnp.pi, 0.0])
+    a_single, cs_single, _ = ctrl.forward(state, cstate, None, key, opt_steps=2)
+    mesh = make_mesh()
+    for mode in ("gather", "ring", "triangle"):
+        a_shard, cs_shard = sharded_dust_forward(
+            ctrl, state, cstate, key, 2, mesh, gram_mode=mode
+        )
+        np.testing.assert_allclose(
+            np.asarray(a_single), np.asarray(a_shard), rtol=2e-3, atol=2e-4,
+            err_msg=mode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cs_single.pol_mean), np.asarray(cs_shard.pol_mean),
+            rtol=2e-3, atol=2e-4, err_msg=mode,
+        )
+
+
+@pytest.mark.slow
+def test_sharded_dust_trajectory_median_bandwidth():
+    """kernel_mode='trajectory' with the default median bandwidth: the
+    sharded per-dim distance blocks recover the global median (and its
+    gradient flow) via the distributed bisection."""
+    model = PendulumModel(dt=0.05)
+    ctrl = DuSt(
+        model=model,
+        hz_len=8,
+        n_pol=16,
+        kernel_mode="trajectory",
+        kernel=GaussianKernel(),  # median bandwidth
+        # raw-lr update: adam's sign normalization would amplify the
+        # median's fp-level summation-order differences into full ±lr steps
+        # (see test_sharded_dust_flagship_path_shape_identity)
+        optimizer=None,
+        lr=0.05,
+        inst_cost_fn=model.swingup_inst_cost,
+        term_cost_fn=model.swingup_term_cost,
+    )
+    _assert_forward_parity(ctrl, rtol=2e-3, atol=2e-4)
+
+
+def test_distributed_median_value_and_grad():
+    """distributed_median matches the single-device partition median exactly;
+    the _diff variant also matches its gradient (selected-element routing)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from sigsvgd_tpu.parallel.svgd import (
+        distributed_median, distributed_median_diff,
+    )
+
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(9)
+    for n in (64, 63 + 8):  # even/odd global counts (rows pad to the mesh)
+        vals = jax.random.normal(key, (8, n // 8 * 3))
+
+        @partial(shard_map, mesh=mesh, in_specs=P("dp"), out_specs=P(),
+                 check_vma=False)
+        def med_of(v):
+            return distributed_median(v, "dp")
+
+        @partial(shard_map, mesh=mesh, in_specs=P("dp"), out_specs=P(),
+                 check_vma=False)
+        def med_diff_of(v):
+            return distributed_median_diff(v, "dp")
+
+        flat = vals.reshape(-1)
+        k = (flat.shape[0] - 1) // 2
+        expected = jnp.partition(flat, k)[k]
+        np.testing.assert_allclose(
+            np.asarray(med_of(vals)), np.asarray(expected), rtol=0, atol=0
+        )
+        g_ref = jax.grad(lambda v: jnp.partition(v.reshape(-1), k)[k])(vals)
+        g_dist = jax.grad(lambda v: med_diff_of(v))(vals)
+        # both route the gradient to ONE element equal to the median
+        np.testing.assert_allclose(np.asarray(g_dist), np.asarray(g_ref))
+
+
+def test_triangle_groups_granularity():
+    """The triangle row-group rule: fine groups (>=64 rows) at flagship
+    scale, the legacy 2*ndev for small particle counts."""
+    from sigsvgd_tpu.parallel.dust import _triangle_groups
+
+    assert _triangle_groups(1024, 2) == 16
+    assert _triangle_groups(1024, 4) == 16
+    assert _triangle_groups(1024, 8) == 16
+    assert _triangle_groups(16, 4) == 8  # tiny N: legacy granularity
+    assert _triangle_groups(24, 8) == 8  # 2*ndev does not divide -> ndev
+    # projected efficiency at the flagship shape clears the r4 bars
+    n = 1024
+    single = n * (n + 1) // 2
+    for ndev, bar in ((2, 0.85), (4, 0.9), (8, 0.9)):
+        g = _triangle_groups(n, ndev)
+        ng = n // g
+        blocks = g * (g + 1) // 2
+        per_dev = -(-blocks // ndev) * ng * ng
+        eff = single / (ndev * per_dev)
+        assert eff >= bar, (ndev, eff)
