@@ -1,14 +1,20 @@
-"""Numerics simulation v2: delta-form Goursat recurrences with SMALL-FORM
-coefficients (alpha = a-1 etc. computed in high precision THEN cast to bf16,
-never via subtraction of near-1 bf16 values — v1 showed that rounding `a` to
-bf16 destroys the z-information entirely at |z| ~ 3e-3 < bf16 quantum of 1).
+"""Numerics study behind docs/bf16_adjoint_study.md: delta-form Goursat
+recurrences vs the fp64 oracle at the flagship MPC shape (39x39 coarse
+cells, dyadic 3, RBF statics). Run on CPU:
 
-Variants, vs the fp64 oracle at the flagship MPC shape (39x39 coarse cells,
-dyadic 3, G=312, RBF statics on smooth 2-D paths):
+    JAX_PLATFORMS=cpu python examples/bf16_delta_form_study.py
 
-  fwd:  fp32 standard | bf16 delta-o2 | bf16 delta-o1 (first order in z)
-  adj:  same three
-  dz:   all combinations incl. the hybrid (fp32 k-field, bf16 ghat)
+Small-form coefficients (alpha = a-1 etc.) are computed in high precision
+THEN cast to bf16 — never via subtraction of near-1 bf16 values (a naive
+bf16 sweep measures ~0.8 relative error at |z| ~ 1e-3, far below bf16's
+quantum around 1).
+
+Variants, vs the fp64 oracle:
+
+  fwd:  fp32/fp64 standard | delta-o2 | delta-o1 (first order in z),
+        each at fp32 or bf16
+  adj:  same
+  dz:   full-precision-k hybrid and all-delta combinations
 """
 import os
 
@@ -226,11 +232,12 @@ print("fp32 std  : k", f"{relerr(k32[:, -1, -1], k64[:, -1, -1]):.2e}",
       " ghat", f"{relerr(g32, g64):.2e}",
       " dz", f"{relerr(dz_from(k32, g32, z64), dz64):.2e}")
 
-for order in (2, 1):
-    kd = kfield(fwd_delta(z64, jnp.bfloat16, order))
-    gd = gfield(adj_delta(z64, jnp.bfloat16, order))
-    tag = f"bf16 d-o{order}"
-    print(f"{tag}: k corner", f"{relerr(kd[:, -1, -1], k64[:, -1, -1]):.2e}",
-          " ghat", f"{relerr(gd, g64):.2e}",
-          " dz(full-bf16)", f"{relerr(dz_from(kd, gd, z64), dz64):.2e}",
-          " dz(hybrid fp32-k)", f"{relerr(dz_from(k32, gd, z64), dz64):.2e}")
+for dtype, dname in ((jnp.bfloat16, "bf16"), (jnp.float32, "fp32")):
+    for order in (2, 1):
+        kd = kfield(fwd_delta(z64, dtype, order))
+        gd = gfield(adj_delta(z64, dtype, order))
+        tag = f"{dname} d-o{order}"
+        print(f"{tag}: k corner", f"{relerr(kd[:, -1, -1], k64[:, -1, -1]):.2e}",
+              " ghat", f"{relerr(gd, g64):.2e}",
+              " dz(all-delta)", f"{relerr(dz_from(kd, gd, z64), dz64):.2e}",
+              " dz(hybrid fp32-k)", f"{relerr(dz_from(k32, gd, z64), dz64):.2e}")

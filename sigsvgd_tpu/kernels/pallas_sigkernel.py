@@ -55,17 +55,27 @@ stores through the buffers' leading index (traced store indices silently
 corrupt the slot selection).
 
 Measured (v5e, in-situ at the flagship MPC shape — 525k upper-triangle
-pairs, H=40 paths, RBF statics fused): **0.42 µs/pair forward (statics +
-checkpoints + right edges) and 0.92 µs/pair backward**, 703 ms per
-Gram+adjoint.  Issue-floor analysis: the backward runs ~14 vector
-instructions per fine cell at an effective ~1.5 issues/cycle — within ~10%
-of the fp32 VPU floor, and the forward is AT its floor, so further wins
-need fewer operations per cell, not better scheduling.  bf16 would double
-the issue width (measured 2.09x on this kernel's forward) but is unusable
-for the 312-step recurrence: 8-bit mantissa rounding compounds to ~1x
-relative error on the values (measured), so fp32 stays the only precision.
-Validated against ``solve_goursat_pde_scan`` (values + VJP) in interpret
-mode on CPU (tests/test_pallas_sigkernel.py) and on device at b up to 4096.
+pairs, H=40 paths, RBF statics fused): **0.30 µs/pair forward (statics +
+checkpoints + right edges) and 0.78 µs/pair backward** (the round-4
+staggered-pair sweep), ~560 ms per Gram+adjoint.  Issue-floor analysis:
+the backward's three recurrence chains total ~9 FMA-class vector ops per
+fine node — the algorithmic minimum for adjoint + primal reconstruction +
+dz — and the measured ~8 cycles/node puts the achieved issue rate at the
+VPU's practical ceiling: removing the dz chain (−25% ops) saves a
+proportional 21% (issue-bound, not latency-bound), while moving 2/3 of the
+VMEM slice traffic into loop-carried registers (the staggered-pair sweep)
+saves only ~4% (loads/stores dual-issue with ALU).  Precision does not
+change this: packed bf16 on this VPU is a STORAGE format — vector×vector
+bf16 FMAs issue at the same rate as fp32 (the 2.09x once measured for bf16
+came from a scalar-multiplier microbenchmark artifact 17x off the real FMA
+path) — so the opt-in delta-form bf16 adjoint (``grad_precision='bf16'``)
+delivers ~3.5% gradient error for only ~3% wall-clock; see
+docs/bf16_adjoint_study.md for the full evidence chain, including why an
+MXU reformulation cannot serve dyadic 3 (per-pair boundary prep on the VPU
+rivals the direct sweep).  fp32 stays the default and only value-grade
+precision.  Validated against ``solve_goursat_pde_scan`` (values + VJP) in
+interpret mode on CPU (tests/test_pallas_sigkernel.py) and on device at b
+up to 4096.
 """
 from __future__ import annotations
 
@@ -452,67 +462,69 @@ def _bwd_rows_stable(ly1, r, z_at, dz_get, dz_set, gout_ref, kbuf_ref, gbuf_ref,
 
 def _bwd_rows_fast(ly1, r, z_at, dz_get, dz_set, rc_at, gout_ref, kbuf_ref,
               gbuf_ref, a_ref, b_ref, au_ref, bu_ref, bi_ref):
-    """The band's 8-row reverse sweep (see :func:`_bwd_kernel`). ``z_at(cc)``
-    reads cell cc's scaled increment; ``dz_get``/``dz_set`` access the dz
-    accumulator (an output block or a VMEM scratch row); ``rc_at(s)`` reads
-    the band's stored right-edge anchor ``k[8b+s, gy]``.
+    """The band's 8-row reverse sweep in STAGGERED ROW PAIRS (see
+    :func:`_bwd_kernel` for buffer shapes). ``z_at(cc)`` reads cell cc's
+    scaled increment; ``dz_get``/``dz_set`` access the dz accumulator;
+    ``rc_at(s)`` reads the band's stored right-edge anchor ``k[8b+s, gy]``.
 
-    All three chains sweep RIGHT-TO-LEFT over one shared cell loop:
+    Per row, three chains share one right-to-left cell loop:
 
       adjoint  ĝ[i,j] = a(i,j+1)·ĝ[i,j+1] + a(i+1,j)·ĝ[i+1,j]
                          − b(i+1,j+1)·ĝ[i+1,j+1]
       primal   k[i-1,j-1] = ((k[i,j-1] + k[i-1,j])·a − k[i,j]) / b
                (the forward recurrence inverted toward −j, re-anchored at
-               the stored right edge every row — so row i's dz operands
-               ĝ[i], k[i], k[i-1] are ALL register-resident in the same
-               iteration)
+               the stored right edge every row)
       dz       Σ_j ĝ[i,j]·((l+u)(½+z/6) + c·z/6), accumulated per coarse
                cell with the scalar weights hoisted outside the slot sum.
 
-    vs the previous pipelined layout (adjoint right-to-left, reconstruction
-    left-to-right, dz one row behind reloading ĝ/k from VMEM): the dz stage's
-    ~4M slot loads per cell vanish, the primal buffer needs 2 generations
-    instead of 3 (dz no longer trails), and the separate last-row dz pass
-    and per-band generation copy disappear.
+    The band's rows are processed in PAIRS (A = upper, B = A−1) with B one
+    cell to the right of A in the same loop iteration: B's ĝ-above and
+    primal-source windows are exactly A's previous-iteration outputs, so
+    they hand off through ~18 loop-carried vregs instead of VMEM.  This
+    (a) removes B's 18 slice-loads per cell and A's 16 stores (A's rows are
+    consumed only by B — only B writes the buffers for the next pair), and
+    (b) doubles the independent dependency chains per issue window (6 vs
+    3).  z is constant along a band's COLUMN (all 8 rows share a cell's
+    coefficients), which is what makes the pairing's handoff exact.
+    Measured at the flagship MPC shape: 0.81 → 0.78 µs/pair — a small win,
+    because the sweep is ALU-issue-bound and loads/stores dual-issue (see
+    the module docstring's floor analysis).  Bit-exact with the unpaired
+    layout (same op order within each chain).
     """
-    # unrolled over the band's 8 rows, i = 8b+8 - t descending; t is a
-    # Python int so every kbuf/gbuf leading store index is compile-time
-    # static (traced leading store indices silently corrupt slot selection)
     gy = ly1 * _M
     ones = jnp.ones_like(gbuf_ref[0, 0])
     zero = jnp.zeros_like(gbuf_ref[0, 0])
-    for t in range(_M):
-        par = t & 1          # ĝ[i] parity slot
-        top = t == 0         # row i+1 lives in the band above
-        kcur_s = t & 1       # primal row i
-        knew_s = (t + 1) & 1  # reconstructed row i-1
-        kr0 = rc_at(_M - 1 - t)  # k[i-1, gy], row i-1 = 8b + (7-t)
-        # the next row's kc load covers slot gy; the cell loop below only
-        # writes slots 0..gy-1 of the new generation
-        kbuf_ref[knew_s, gy] = kr0
 
-        def fused_cell(w, carry, par=par, top=top, kcur_s=kcur_s,
-                       knew_s=knew_s, t=t):
-            g_right, kr = carry
-            cc = ly1 - 1 - w
+    for p in range(_M // 2):
+        tA = 2 * p                 # rows i_A = 8b+8-tA, i_B = i_A - 1
+        topA = tA == 0             # A's row i_A+1 lives in the band above
+        rd = 1 - (p & 1)           # slot holding ĝ[A+1] and k[A]
+        wr_slot = p & 1            # slot receiving ĝ[B] and k[B-1]
+        krA0 = rc_at(_M - 1 - tA)      # k[B, gy] — A's primal anchor
+        krB0 = rc_at(_M - 2 - tA)      # k[B-1, gy] — B's primal anchor
+        # B's cell loop writes slots 0..gy-1 of the new generation; the
+        # next pair's kc load covers slot gy
+        kbuf_ref[wr_slot, gy] = krB0
+
+        def a_cell(cc, g_right, kr, topA=topA, rd=rd, first=(p == 0)):
+            """Row A at cell cc: reads VMEM, returns register outputs."""
             a_cur = a_ref[cc]
-            b_up = bu_ref[cc] if top else b_ref[cc]
-            a_up = au_ref[cc] if top else a_cur
+            b_up = bu_ref[cc] if topA else b_ref[cc]
+            a_up = au_ref[cc] if topA else a_cur
             bi = bi_ref[cc]
             wr = jnp.minimum(cc + 1, ly1 - 1)
             a_cur_r = a_ref[wr]
-            b_up_r = bu_ref[wr] if top else b_ref[wr]
+            b_up_r = bu_ref[wr] if topA else b_ref[wr]
 
-            kc = kbuf_ref[kcur_s, pl.ds(cc * _M, _M + 1)]  # row i, 8c..8c+8
-            gup = gbuf_ref[1 - par, pl.ds(cc * _M + 1, _M + 1)]  # row i+1
+            kc = kbuf_ref[rd, pl.ds(cc * _M, _M + 1)]        # k[A]
+            gup = gbuf_ref[rd, pl.ds(cc * _M + 1, _M + 1)]   # ĝ[A+1]
 
-            # ---- adjoint of row i ----------------------------------------
             gnews = [None] * _M
             for tt in range(_M - 1, -1, -1):
                 a_r = a_cur_r if tt == _M - 1 else a_cur
                 bu = b_up_r if tt == _M - 1 else b_up
                 g = a_r * g_right + a_up * gup[tt] - bu * gup[tt + 1]
-                if top and tt == _M - 1:
+                if topA and tt == _M - 1:
                     # dL/dk seed at (gx, gy), folded INTO the sweep so it
                     # reaches the nodes left of gy in the same row
                     g = g + jnp.where(
@@ -520,18 +532,14 @@ def _bwd_rows_fast(ly1, r, z_at, dz_get, dz_set, rc_at, gout_ref, kbuf_ref,
                     )
                 gnews[tt] = g
                 g_right = g
-            gbuf_ref[par, pl.ds(cc * _M + 1, _M)] = jnp.stack(gnews)
 
-            # ---- reconstruct primal row i-1 ------------------------------
-            kus = [None] * (_M + 1)  # k[i-1, 8c .. 8c+8]
+            kus = [None] * (_M + 1)      # k[B, 8c .. 8c+8]
             kus[_M] = kr
             for tt in range(_M - 1, -1, -1):
                 kus[tt] = ((kc[tt] + kus[tt + 1]) * a_cur - kc[tt + 1]) * bi
-            # left boundary of row i-1 is exactly one (cuts the /b drift)
+            # left boundary of row B is exactly one (cuts the /b drift)
             kus[0] = jnp.where(cc == 0, ones, kus[0])
-            kbuf_ref[knew_s, pl.ds(cc * _M, _M)] = jnp.stack(kus[:_M])
 
-            # ---- dz of row i at this cell (register-resident operands) ---
             z = z_at(cc)
             s1 = gnews[0] * (kc[0] + kus[1])
             s2 = gnews[0] * kus[0]
@@ -540,13 +548,80 @@ def _bwd_rows_fast(ly1, r, z_at, dz_get, dz_set, rc_at, gout_ref, kbuf_ref,
                 s2 = s2 + gnews[tt] * kus[tt]
             t1 = z * (1.0 / 6.0)
             val = (0.5 + t1) * s1 + t1 * s2
-            if t == 0:
+            if first:
                 dz_set(cc, val)
             else:
                 dz_set(cc, dz_get(cc) + val)
-            return g_right, kus[0]
+            return gnews, kus
 
-        lax.fori_loop(0, ly1, fused_cell, (zero, kr0))
+        def b_cell(cc, g_right, kr, gupw, kcw, wr_slot=wr_slot):
+            """Row B at cell cc: ĝ-above (``gupw``, 9 regs) and primal
+            source (``kcw``, 9 regs) come from A's previous iteration."""
+            a_cur = a_ref[cc]
+            bi = bi_ref[cc]
+            wr = jnp.minimum(cc + 1, ly1 - 1)
+            a_cur_r = a_ref[wr]
+            b_cur = b_ref[cc]
+            b_cur_r = b_ref[wr]
+
+            gnews = [None] * _M
+            for tt in range(_M - 1, -1, -1):
+                a_r = a_cur_r if tt == _M - 1 else a_cur
+                bu = b_cur_r if tt == _M - 1 else b_cur
+                g = a_r * g_right + a_cur * gupw[tt] - bu * gupw[tt + 1]
+                gnews[tt] = g
+                g_right = g
+            gbuf_ref[wr_slot, pl.ds(cc * _M + 1, _M)] = jnp.stack(gnews)
+
+            kus = [None] * (_M + 1)      # k[B-1, 8c .. 8c+8]
+            kus[_M] = kr
+            for tt in range(_M - 1, -1, -1):
+                kus[tt] = ((kcw[tt] + kus[tt + 1]) * a_cur - kcw[tt + 1]) * bi
+            kus[0] = jnp.where(cc == 0, ones, kus[0])
+            kbuf_ref[wr_slot, pl.ds(cc * _M, _M)] = jnp.stack(kus[:_M])
+
+            z = z_at(cc)
+            s1 = gnews[0] * (kcw[0] + kus[1])
+            s2 = gnews[0] * kus[0]
+            for tt in range(1, _M):
+                s1 = s1 + gnews[tt] * (kcw[tt] + kus[tt + 1])
+                s2 = s2 + gnews[tt] * kus[tt]
+            t1 = z * (1.0 / 6.0)
+            dz_set(cc, dz_get(cc) + (0.5 + t1) * s1 + t1 * s2)
+            return gnews, kus
+
+        # ---- pipeline fill: A alone at the rightmost cell ----------------
+        gA, kA = a_cell(jnp.int32(ly1 - 1), zero, krA0)
+        # carried registers: A's last cell outputs (ĝ[A] 8 + k[B] 8), the
+        # edge nodes to their right (ĝ[A, 8(cc+2)+1] and k[B, 8(cc+1)+8]),
+        # and both rows' chain carries
+        carry0 = (
+            tuple(gA), zero,            # gnewsA, ĝ[A] first-node of cell+1
+            tuple(kA[:_M]), krA0,       # kusA,  k[B, 8cc+8] = A's kr_in
+            gA[0], kA[0],               # A chain carries (g_right, kr)
+            zero, krB0,                 # B chain carries
+        )
+
+        def paired(w, carry):
+            gAp, gA_first, kAp, krA_in, gA_r, kA_r, gB_r, kB_r = carry
+            ccB = ly1 - w              # B's cell (= A's previous cell)
+            ccA = ccB - 1
+            gupw = list(gAp) + [gA_first]
+            kcw = list(kAp) + [krA_in]
+            gB, kB = b_cell(ccB, gB_r, kB_r, gupw, kcw)
+            gA2, kA2 = a_cell(ccA, gA_r, kA_r)
+            return (
+                tuple(gA2), gAp[0],
+                tuple(kA2[:_M]), kA_r,
+                gA2[0], kA2[0],
+                gB[0], kB[0],
+            )
+
+        carry = lax.fori_loop(1, ly1, paired, carry0)
+        # ---- drain: B alone at cell 0 ------------------------------------
+        gAp, gA_first, kAp, krA_in, _gA_r, _kA_r, gB_r, kB_r = carry
+        b_cell(jnp.int32(0), gB_r, kB_r, list(gAp) + [gA_first],
+               list(kAp) + [krA_in])
 
 
 def _bwd_rows_fast_bf16(ly1, r, zh_ref, zhu_ref, dz_ref, rc_at, gout_ref,
@@ -692,7 +767,9 @@ def _fused_bwd_kernel(lx1, ly1, bpc,
 
     @pl.when(((b + 1) % bpc == 0) | (b == lx1 - 1))
     def _():
-        kbuf_ref[0] = ck_ref[0, 0]
+        # the paired sweep's first row-pair reads slot 1 (the previous
+        # band's last pair writes slot 1, so the carry and the anchor agree)
+        kbuf_ref[1] = ck_ref[0, 0]
 
     _bwd_rows_fast(
         ly1, r,
@@ -1198,16 +1275,24 @@ _fused_tiled_bf16grad.defvjp(_fused_tiled_bf16grad_fwd, _fused_tiled_bf16grad_bw
 
 
 def fused_supported(lx1: int, ly1: int, dyadic_order: int, n_channels: int,
-                    static: str, h) -> bool:
+                    static: str, h, grad_precision: str = "fp32") -> bool:
     # channel bound: yg + its dyg accumulator + the carried static rows add
     # ~(2C+6) [Ly, 8, 128] buffers to the backward's VMEM bill; C ≤ 8 keeps
-    # the total under ~13 MB at ly1 = 48
-    return (
+    # the total under ~13 MB at ly1 = 48.  The bf16 backward runs on FULL
+    # [16, 128] tiles — its fp32 statics/dz/yg/dyg buffers and streamed
+    # blocks double relative to the half-tile fp32 route (~19 MB at ly1=48,
+    # C=8), so its envelope is tightened to ly1 ≤ 40, C ≤ 4 (~12.5 MB at
+    # the bound; the flagship MPC shape is ly1=39, C=2) — ADVICE r3.
+    if not (
         pallas_supported(lx1, ly1, dyadic_order)
         and static == "rbf"
         and h is not None
         and n_channels <= 8
-    )
+    ):
+        return False
+    if grad_precision == "bf16":
+        return ly1 <= 40 and n_channels <= 4
+    return True
 
 
 def pallas_pair_gram_fused(X, Y, ix, iy, h, grad_precision: str = "fp32") -> jax.Array:

@@ -785,7 +785,8 @@ class SignatureKernel:
             hh = None if self.static == "linear" else h
             lx1, ly1 = X.shape[1] - 1, Y.shape[1] - 1
             if fused_supported(
-                lx1, ly1, self.dyadic_order, X.shape[2], self.static, hh
+                lx1, ly1, self.dyadic_order, X.shape[2], self.static, hh,
+                self.grad_precision,
             ):
                 # RBF statics + increments computed inside the Pallas
                 # kernels: the per-pair HBM traffic drops from O(L²) z/dz
@@ -793,6 +794,13 @@ class SignatureKernel:
                 return pallas_pair_gram_fused(
                     X, Y, ixc, iyc, hh, grad_precision=self.grad_precision
                 )
+            if fused_supported(
+                lx1, ly1, self.dyadic_order, X.shape[2], self.static, hh
+            ):
+                # shape fits the fp32 fused envelope but not the bf16 one
+                # (full-tile buffers, ADVICE r3): silently upgrade the
+                # adjoint to fp32 rather than fall off the fused route
+                return pallas_pair_gram_fused(X, Y, ixc, iyc, hh)
             return pallas_pair_values(X, Y, ixc, iyc, hh)
 
         # trajectory channel counts are tiny (2-7): a [c,p,2]x[c,q,2]

@@ -30,8 +30,10 @@ from sigsvgd_tpu.kernels.sigkernel import SignatureKernel, solve_goursat_pde_mxu
     "lx1,ly1,lam,b",
     [
         (2, 2, 6, 3),     # 4 hops, pairs pad 3 -> 128 lanes
-        (4, 4, 6, 5),     # the flagship planning shape (5-knot paths)
-        (2, 2, 7, 2),     # sub-refined blocks (sub=2 -> 16 hops)
+        # heavier shapes in the slow lane (interpret-mode hop chains are
+        # ~20 s each on CPU; the 4-hop case keeps fast-lane coverage)
+        pytest.param(4, 4, 6, 5, marks=pytest.mark.slow),  # flagship planning
+        pytest.param(2, 2, 7, 2, marks=pytest.mark.slow),  # sub=2 -> 16 hops
     ],
 )
 def test_chain_matches_xla_highest(rng, lx1, ly1, lam, b):
@@ -99,7 +101,8 @@ inc = jnp.asarray(np.clip(rng.standard_normal((5, 4, 4)), -2, 2).astype(np.float
 g = jnp.asarray(rng.standard_normal(5).astype(np.float32))
 k_ref, vjp_ref = jax.vjp(lambda z: solve_goursat_pde_mxu(z, 6, degree=10, precision="highest"), inc)
 k_pl, vjp_pl = jax.vjp(lambda z: solve_goursat_pde_mxu_pallas(z, 6, degree=10), inc)
-np.testing.assert_allclose(np.asarray(k_pl), np.asarray(k_ref), rtol=5e-3, atol=1e-3)
+sk = np.abs(np.asarray(k_ref)).max()
+np.testing.assert_allclose(np.asarray(k_pl) / sk, np.asarray(k_ref) / sk, atol=5e-3)
 (d_ref,), (d_pl,) = vjp_ref(g), vjp_pl(g)
 s = np.abs(np.asarray(d_ref)).max()
 np.testing.assert_allclose(np.asarray(d_pl) / s, np.asarray(d_ref) / s, atol=1e-2)

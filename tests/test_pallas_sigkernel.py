@@ -91,10 +91,14 @@ def test_pallas_pair_values_matches_generic_statics(rng):
         )
 
 
+@pytest.mark.slow
 def test_fused_statics_matches_unfused(rng):
     """The fused-statics route (RBF Gram + increments computed inside the
     Pallas kernels, custom VJP to path-tile gradients) must agree with the
-    XLA-statics + tiled-solve route, values AND gradients w.r.t. X, Y, h."""
+    XLA-statics + tiled-solve route, values AND gradients w.r.t. X, Y, h.
+    Slow lane: two interpret-mode 2048-pair VJPs (~16 s); the fast lane
+    still exercises the fused route end-to-end via
+    test_bf16_oversize_shape_falls_back_to_fp32_fused."""
     from sigsvgd_tpu.kernels.pallas_sigkernel import (
         _P, pallas_pair_gram_fused, pallas_pair_values,
     )
@@ -186,3 +190,38 @@ def test_pallas_supported_bounds_vmem():
     assert pallas_supported(1000, 48, 3)     # bands stream: lx1 unbounded
     assert not pallas_supported(5, 100, 3)   # ly1 row buffers would blow VMEM
     assert not pallas_supported(40, 40, 4)   # wrong dyadic order
+
+
+def test_fused_supported_grad_precision_envelope():
+    """ADVICE r3: the bf16 backward runs full [16,128] tiles with fp32
+    statics scratch — shapes the fp32 envelope admits (ly1=48, C=8) exceed
+    VMEM there, so the eligibility check must be grad_precision-aware."""
+    from sigsvgd_tpu.kernels.pallas_sigkernel import fused_supported
+
+    # fp32 envelope boundary: admitted
+    assert fused_supported(48, 48, 3, 8, "rbf", 1.0)
+    assert fused_supported(48, 48, 3, 8, "rbf", 1.0, "fp32")
+    # same shape under bf16: rejected (would not fit VMEM)
+    assert not fused_supported(48, 48, 3, 8, "rbf", 1.0, "bf16")
+    assert not fused_supported(39, 39, 3, 5, "rbf", 1.0, "bf16")
+    # flagship MPC shape fits both routes
+    assert fused_supported(39, 39, 3, 2, "rbf", 1.0, "bf16")
+    assert fused_supported(40, 40, 3, 4, "rbf", 1.0, "bf16")
+
+
+def test_bf16_oversize_shape_falls_back_to_fp32_fused(rng):
+    """grad_precision='bf16' on a shape outside the bf16 envelope silently
+    upgrades the adjoint to fp32 (still fused) instead of erroring."""
+    from sigsvgd_tpu.kernels.sigkernel import SignatureKernel
+
+    X = jnp.asarray(np.cumsum(
+        rng.standard_normal((4, 8, 5)).astype(np.float32) * 0.3, axis=1))
+    k16 = SignatureKernel(dyadic_order=3, bandwidth=2.0,
+                          grad_precision="bf16")
+    k32 = SignatureKernel(dyadic_order=3, bandwidth=2.0)
+    K16, d16 = k16.gram_and_grad(X)
+    K32, d32 = k32.gram_and_grad(X)
+    np.testing.assert_allclose(np.asarray(K16), np.asarray(K32),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(d16), np.asarray(d32),
+                               rtol=1e-6, atol=1e-6)

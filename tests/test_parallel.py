@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from sigsvgd_tpu.inference import SVGD, ScoreResult
 from sigsvgd_tpu.kernels import GaussianKernel, SignatureKernel
@@ -104,6 +105,7 @@ def test_sharded_rbf_2d_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_sharded_svgd_4k_particles_scale():
     """BASELINE config-5 shape sanity: 4096 particles sharded over the
     8-device mesh, RBF kernel, runs and converges (CPU-scale workload)."""

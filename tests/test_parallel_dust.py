@@ -449,29 +449,31 @@ def test_distributed_median_value_and_grad():
 
     mesh = make_mesh()
     key = jax.random.PRNGKey(9)
-    for n in (64, 63 + 8):  # even/odd global counts (rows pad to the mesh)
-        vals = jax.random.normal(key, (8, n // 8 * 3))
+    # one shape: equal per-shard rows make the global count always even, so
+    # only the even (lower-middle) branch of the convention arises in
+    # practice; odd counts are covered by test_math's bw_median suite
+    vals = jax.random.normal(key, (8, 24))
 
-        @partial(shard_map, mesh=mesh, in_specs=P("dp"), out_specs=P(),
-                 check_vma=False)
-        def med_of(v):
-            return distributed_median(v, "dp")
+    @partial(shard_map, mesh=mesh, in_specs=P("dp"), out_specs=P(),
+             check_vma=False)
+    def med_of(v):
+        return distributed_median(v, "dp")
 
-        @partial(shard_map, mesh=mesh, in_specs=P("dp"), out_specs=P(),
-                 check_vma=False)
-        def med_diff_of(v):
-            return distributed_median_diff(v, "dp")
+    @partial(shard_map, mesh=mesh, in_specs=P("dp"), out_specs=P(),
+             check_vma=False)
+    def med_diff_of(v):
+        return distributed_median_diff(v, "dp")
 
-        flat = vals.reshape(-1)
-        k = (flat.shape[0] - 1) // 2
-        expected = jnp.partition(flat, k)[k]
-        np.testing.assert_allclose(
-            np.asarray(med_of(vals)), np.asarray(expected), rtol=0, atol=0
-        )
-        g_ref = jax.grad(lambda v: jnp.partition(v.reshape(-1), k)[k])(vals)
-        g_dist = jax.grad(lambda v: med_diff_of(v))(vals)
-        # both route the gradient to ONE element equal to the median
-        np.testing.assert_allclose(np.asarray(g_dist), np.asarray(g_ref))
+    flat = vals.reshape(-1)
+    k = (flat.shape[0] - 1) // 2
+    expected = jnp.partition(flat, k)[k]
+    np.testing.assert_allclose(
+        np.asarray(med_of(vals)), np.asarray(expected), rtol=0, atol=0
+    )
+    g_ref = jax.grad(lambda v: jnp.partition(v.reshape(-1), k)[k])(vals)
+    g_dist = jax.grad(lambda v: med_diff_of(v))(vals)
+    # both route the gradient to ONE element equal to the median
+    np.testing.assert_allclose(np.asarray(g_dist), np.asarray(g_ref))
 
 
 def test_triangle_groups_granularity():

@@ -196,15 +196,28 @@ def test_chunked_pairs_gram_matches_dense(rng):
 def test_mxu_block_propagator_matches_wavefront(rng):
     """solve_goursat_pde_mxu vs the wavefront solver: values and AD grads.
 
-    Covers m = 2^λ (λ=4, 5, 6) and the sub-block case (block_m < 2^λ), at
-    increment magnitudes up to the RBF static kernel's worst case (|inc| ≤ 2).
+    Covers m = 2^λ at λ=4 here; the λ=5 and λ=6-sub-block cases run in the
+    slow lane — their (2^λ·3)² reference wavefronts dominate the fast lane.
+    Increment magnitudes go up to the RBF static kernel's worst case
+    (|inc| ≤ 2).
     """
+    _mxu_vs_wavefront_cases(rng, ((4, 0.5, None),))
+
+
+@pytest.mark.slow
+def test_mxu_block_propagator_large_blocks(rng):
+    """λ=5 full blocks and λ=6 with block_m=16 (sub-block refinement) vs
+    the wavefront."""
+    _mxu_vs_wavefront_cases(rng, ((5, 2.0, None), (6, 1.0, 16)))
+
+
+def _mxu_vs_wavefront_cases(rng, cases):
     from sigsvgd_tpu.kernels.sigkernel import (
         solve_goursat_pde_mxu,
         solve_goursat_pde_scan,
     )
 
-    for lam, scale, block_m in ((4, 0.5, None), (5, 2.0, None), (6, 1.0, 16)):
+    for lam, scale, block_m in cases:
         inc = jnp.asarray(
             np.clip(rng.standard_normal((3, 3, 4)) * scale, -2, 2).astype(np.float32)
         )
@@ -215,9 +228,12 @@ def test_mxu_block_propagator_matches_wavefront(rng):
         )
         # tolerance is set by the WAVEFRONT's fp32 rounding: measured vs fp64,
         # the MXU propagator sits at ~1e-7 relative while the 2G-step fp32
-        # wavefront accumulates ~2e-4 — the looser side is the reference here
+        # wavefront accumulates ~2e-4 relative on O(max|k|) values — so the
+        # comparison is normalized by the batch max (kernel values span
+        # orders of magnitude within a batch)
+        sk = np.abs(np.asarray(k_ref)).max()
         np.testing.assert_allclose(
-            np.asarray(k_mxu), np.asarray(k_ref), rtol=1e-3, atol=1e-4
+            np.asarray(k_mxu) / sk, np.asarray(k_ref) / sk, atol=1e-3
         )
         (d_ref,) = vjp_ref(g)
         (d_mxu,) = vjp_mxu(g)
