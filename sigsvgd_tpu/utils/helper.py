@@ -55,10 +55,12 @@ def save_progress(
     folder_name: Path,
     data: Optional[Dict[str, Any]] = None,
     config: Optional[Dict[str, Any]] = None,
+    session: bool = False,
 ) -> Path:
-    """Persist experiment artifacts: ``data.pkl`` (numpy-ified pytrees) and
-    ``config.json`` (parity with reference ``helper.py:42-100``, minus the
-    dill session dump)."""
+    """Persist experiment artifacts: ``data.pkl`` (numpy-ified pytrees),
+    ``config.json``, and optionally a ``session.pkl`` snapshot of the
+    caller's module globals (parity with reference ``helper.py:42-100``,
+    whose optional ``dill.dump_session`` captures the interpreter state)."""
     folder = Path(folder_name)
     folder.mkdir(parents=True, exist_ok=True)
     if data is not None:
@@ -67,7 +69,46 @@ def save_progress(
     if config is not None:
         with open(folder / "config.json", "w") as f:
             json.dump(config, f, indent=2, default=str)
+    if session:
+        _dump_session(folder / "session.pkl")
     return folder
+
+
+def _dump_session(path: Path) -> None:
+    """Best-effort interpreter-session snapshot. dill is not in the TPU
+    image, so the calling frame's globals are pickled name-by-name
+    (device arrays numpy-ified first); unpicklable entries — modules,
+    functions with closures over clients, live tracers — are skipped and
+    their names recorded under ``__skipped__`` so a restored session knows
+    what it is missing."""
+    import inspect
+
+    frame = inspect.currentframe()
+    g: Dict[str, Any] = {}
+    try:
+        caller = frame.f_back.f_back  # the save_progress caller
+        g = dict(caller.f_globals)
+        g.update(caller.f_locals)
+    finally:
+        del frame
+    snap: Dict[str, Any] = {}
+    skipped: List[str] = []
+    for k, v in g.items():
+        if k.startswith("__"):
+            continue
+        try:
+            snap[k] = pickle.loads(pickle.dumps(_to_numpy(v)))
+        except Exception:
+            skipped.append(k)
+    with open(path, "wb") as f:
+        pickle.dump({"vars": snap, "__skipped__": sorted(skipped)}, f)
+
+
+def load_session(folder_name: Path) -> Dict[str, Any]:
+    """Load a ``save_progress(..., session=True)`` snapshot: returns
+    ``{"vars": {...}, "__skipped__": [...]}``."""
+    with open(Path(folder_name) / "session.pkl", "rb") as f:
+        return pickle.load(f)
 
 
 def load_progress(folder_name: Path) -> Dict[str, Any]:

@@ -363,3 +363,21 @@ def test_scan_time_measures_real_work():
     assert t_big > max(t_small, 0.0)  # more work must measure as more time
     # scan_time at least runs and returns a sane positive wall time
     assert scan_time(big, x, reps=4) > 0.0
+
+
+def test_session_dump_roundtrip(tmp_path):
+    """save_progress(session=True) snapshots the caller's picklable
+    globals/locals and records what it skipped (parity: the reference's
+    optional dill.dump_session, helper.py:42-100)."""
+    import jax.numpy as jnp
+
+    from sigsvgd_tpu.utils.helper import load_session, save_progress
+
+    my_array = jnp.arange(4.0)
+    my_scalar = 7
+    my_module = np  # unpicklable -> must land in __skipped__
+    save_progress(tmp_path / "exp", data={"x": my_array}, session=True)
+    snap = load_session(tmp_path / "exp")
+    np.testing.assert_array_equal(snap["vars"]["my_array"], np.arange(4.0))
+    assert snap["vars"]["my_scalar"] == 7
+    assert "my_module" in snap["__skipped__"]
