@@ -496,3 +496,45 @@ def test_triangle_groups_granularity():
         per_dev = -(-blocks // ndev) * ng * ng
         eff = single / (ndev * per_dev)
         assert eff >= bar, (ndev, eff)
+
+
+@pytest.mark.slow
+def test_triangle_fine_granularity_matches_gather():
+    """The fine row-group rule (g > 2*ndev, engaged at n_total >= 64*3*ndev)
+    must stay numerically identical to the gather decomposition. 384
+    policies on a 2-device mesh give g=6 (vs the legacy 4): 21 scanned
+    blocks of 64 rows."""
+    from sigsvgd_tpu.kernels import SignatureKernel
+    from sigsvgd_tpu.parallel.dust import _triangle_groups
+
+    assert _triangle_groups(384, 2) == 6
+
+    model = PendulumModel(dt=0.05)
+    ctrl = DuSt(
+        model=model,
+        hz_len=4,
+        n_pol=384,
+        kernel_mode="signature",
+        sig_kernel=SignatureKernel(dyadic_order=1, bandwidth=2.0),
+        optimizer=None,
+        lr=0.05,
+        inst_cost_fn=model.swingup_inst_cost,
+        term_cost_fn=model.swingup_term_cost,
+    )
+    key = jax.random.PRNGKey(11)
+    cstate = ctrl.init(key)
+    state = jnp.asarray([jnp.pi, 0.0])
+    mesh = make_mesh([2], ("dp",), devices=jax.devices()[:2])
+    a_g, cs_g = sharded_dust_forward(
+        ctrl, state, cstate, key, 1, mesh, gram_mode="gather"
+    )
+    a_t, cs_t = sharded_dust_forward(
+        ctrl, state, cstate, key, 1, mesh, gram_mode="triangle"
+    )
+    np.testing.assert_allclose(
+        np.asarray(a_t), np.asarray(a_g), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cs_t.pol_mean), np.asarray(cs_g.pol_mean),
+        rtol=1e-4, atol=1e-5,
+    )
