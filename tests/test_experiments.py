@@ -139,3 +139,24 @@ def test_maze_live_plot_streams(tmp_path):
         MazeConfig(kernel="rbf", steps=3, live_plot=str(png)), seed=3
     )
     assert png.exists() and png.stat().st_size > 0
+
+
+@pytest.mark.slow
+def test_maze_sharded_mpf_matches_single_device():
+    """--mpf-mesh-devices wires parallel.mpf.sharded_mpf_observe into the
+    maze loop; episodes with and without the mesh must agree (the sharded
+    observe-update replicates the single-device math to fp tolerance)."""
+    from sigsvgd_tpu.experiments.maze import MazeConfig, run_episode
+
+    common = dict(kernel="rbf_fixed_bw", steps=4, use_mpf=True,
+                  mpf_n_particles=16, mpf_steps=5, warm_up=0)
+    single = run_episode(MazeConfig(**common), seed=11)
+    sharded = run_episode(MazeConfig(**common, mpf_mesh_devices=2), seed=11)
+    assert sharded["dyn_particles"] is not None
+    np.testing.assert_allclose(
+        sharded["trajectory"], single["trajectory"], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        sharded["dyn_particles"], single["dyn_particles"],
+        rtol=1e-3, atol=1e-5,
+    )
