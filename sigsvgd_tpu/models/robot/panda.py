@@ -78,6 +78,12 @@ class PandaRobot:
             jnp.asarray(self.chain.upper[:7], jnp.float32),
         )
 
+    def velocity_limits(self) -> jax.Array:
+        """Per-joint speed limits from the URDF — matches the published
+        MoveIt ``joint_limits.yaml`` (vendored under
+        ``robot_resources/panda/config/``; parity test in test_robot.py)."""
+        return jnp.asarray(self.chain.velocity[:7], jnp.float32)
+
     def _pad_q(self, qs: jax.Array) -> jax.Array:
         """Pad a 7-dof configuration with zeros for the finger joints."""
         extra = self.chain.dof - qs.shape[-1]

@@ -75,6 +75,7 @@ class KinematicChain:
     actuated_names: Tuple[str, ...]
     lower: np.ndarray  # [dof]
     upper: np.ndarray  # [dof]
+    velocity: np.ndarray  # [dof] joint speed limits (inf if unspecified)
     collision_meshes: Tuple[Tuple[str, str], ...]  # (link_name, mesh_path)
 
     @property
@@ -119,6 +120,7 @@ def parse_urdf(
         limit = j.find("limit")
         lo = float(limit.get("lower", "-inf")) if limit is not None else -np.inf
         hi = float(limit.get("upper", "inf")) if limit is not None else np.inf
+        vel = float(limit.get("velocity", "inf")) if limit is not None else np.inf
         joints_raw.append(
             dict(
                 name=j.get("name"),
@@ -129,6 +131,7 @@ def parse_urdf(
                 axis=axis,
                 lower=lo,
                 upper=hi,
+                velocity=vel,
             )
         )
         child_of[child] = j.get("name")
@@ -155,13 +158,14 @@ def parse_urdf(
     link_to_joint = {jr["child"]: name_to_idx[jr["name"]] for jr in ordered}
 
     q_index = np.full(len(ordered), -1, dtype=np.int32)
-    actuated, lowers, uppers = [], [], []
+    actuated, lowers, uppers, vels = [], [], [], []
     for i, jr in enumerate(ordered):
         if jr["type"] != JOINT_FIXED:
             q_index[i] = len(actuated)
             actuated.append(jr["name"])
             lowers.append(jr["lower"])
             uppers.append(jr["upper"])
+            vels.append(jr["velocity"])
 
     origins = np.stack([jr["origin"] for jr in ordered])
     if base_transform is not None:
@@ -195,5 +199,6 @@ def parse_urdf(
         actuated_names=tuple(actuated),
         lower=np.array(lowers),
         upper=np.array(uppers),
+        velocity=np.array(vels),
         collision_meshes=tuple(meshes),
     )

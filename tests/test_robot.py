@@ -319,3 +319,29 @@ def test_moveit_importer_embedded_mesh(tmp_path):
     raw = open(mo.path, "rb").read()
     n_tris = int(np.frombuffer(raw[80:84], np.uint32)[0])
     assert n_tris == 4
+
+
+def test_velocity_limits_match_published_moveit_config():
+    """Real-data parity check on the kinematics pipeline: the URDF's
+    per-joint velocity limits vs the Panda's published MoveIt
+    joint_limits.yaml (both vendored verbatim from the reference assets).
+    The reference's own URDF bakes a 10% margin over the MoveIt planning
+    limits (2.3925 = 1.1 x 2.1750 etc., exact for all 7 joints) — the test
+    pins that relationship so a limit-parsing regression cannot hide."""
+    from pathlib import Path
+
+    import yaml
+
+    from sigsvgd_tpu.models.robot.panda import PandaRobot, _find_urdf
+
+    robot = PandaRobot.create()
+    cfg_path = (
+        Path(_find_urdf(None)).parents[1] / "config" / "joint_limits.yaml"
+    )
+    cfg = yaml.safe_load(cfg_path.read_text())["joint_limits"]
+    expected = np.asarray(
+        [cfg[f"panda_joint{i}"]["max_velocity"] for i in range(1, 8)]
+    )
+    np.testing.assert_allclose(
+        np.asarray(robot.velocity_limits()), 1.1 * expected, rtol=1e-6
+    )
