@@ -506,15 +506,17 @@ def _bwd_rows_fast(ly1, r, z_at, dz_get, dz_set, rc_at, gout_ref, kbuf_ref,
         # next pair's kc load covers slot gy
         kbuf_ref[wr_slot, gy] = krB0
 
-        def a_cell(cc, g_right, kr, topA=topA, rd=rd, first=(p == 0)):
-            """Row A at cell cc: reads VMEM, returns register outputs."""
+        def a_cell(cc, g_right, kr, a_cur_r, b_up_r,
+                   topA=topA, rd=rd, first=(p == 0)):
+            """Row A at cell cc: reads VMEM, returns register outputs.
+            ``a_cur_r``/``b_up_r`` are cell cc+1's coefficients, carried
+            from the previous (right-neighbour) iteration instead of
+            reloaded — the sweep walks right-to-left, so they are exactly
+            that iteration's ``a_cur``/``b_up``."""
             a_cur = a_ref[cc]
             b_up = bu_ref[cc] if topA else b_ref[cc]
             a_up = au_ref[cc] if topA else a_cur
             bi = bi_ref[cc]
-            wr = jnp.minimum(cc + 1, ly1 - 1)
-            a_cur_r = a_ref[wr]
-            b_up_r = bu_ref[wr] if topA else b_ref[wr]
 
             kc = kbuf_ref[rd, pl.ds(cc * _M, _M + 1)]        # k[A]
             gup = gbuf_ref[rd, pl.ds(cc * _M + 1, _M + 1)]   # ĝ[A+1]
@@ -552,17 +554,16 @@ def _bwd_rows_fast(ly1, r, z_at, dz_get, dz_set, rc_at, gout_ref, kbuf_ref,
                 dz_set(cc, val)
             else:
                 dz_set(cc, dz_get(cc) + val)
-            return gnews, kus
+            return gnews, kus, a_cur, b_up
 
-        def b_cell(cc, g_right, kr, gupw, kcw, wr_slot=wr_slot):
-            """Row B at cell cc: ĝ-above (``gupw``, 9 regs) and primal
-            source (``kcw``, 9 regs) come from A's previous iteration."""
+        def b_cell(cc, g_right, kr, gupw, kcw, a_cur_r, b_cur_r,
+                   wr_slot=wr_slot):
+            """Row B at cell cc: ĝ-above (``gupw``, 9 regs), primal source
+            (``kcw``, 9 regs), and the right-neighbour coefficients all come
+            from previous iterations' registers."""
             a_cur = a_ref[cc]
             bi = bi_ref[cc]
-            wr = jnp.minimum(cc + 1, ly1 - 1)
-            a_cur_r = a_ref[wr]
             b_cur = b_ref[cc]
-            b_cur_r = b_ref[wr]
 
             gnews = [None] * _M
             for tt in range(_M - 1, -1, -1):
@@ -588,40 +589,51 @@ def _bwd_rows_fast(ly1, r, z_at, dz_get, dz_set, rc_at, gout_ref, kbuf_ref,
                 s2 = s2 + gnews[tt] * kus[tt]
             t1 = z * (1.0 / 6.0)
             dz_set(cc, dz_get(cc) + (0.5 + t1) * s1 + t1 * s2)
-            return gnews, kus
+            return gnews, kus, a_cur, b_cur
 
         # ---- pipeline fill: A alone at the rightmost cell ----------------
-        gA, kA = a_cell(jnp.int32(ly1 - 1), zero, krA0)
+        # right-edge coefficient seeds replicate the old clamp (the values
+        # multiply ĝ-terms that are zero beyond gy, so the clamp is inert)
+        edge = jnp.int32(ly1 - 1)
+        aA0 = a_ref[edge]
+        bA0 = bu_ref[edge] if topA else b_ref[edge]
+        gA, kA, aA_r, bA_r = a_cell(edge, zero, krA0, aA0, bA0)
         # carried registers: A's last cell outputs (ĝ[A] 8 + k[B] 8), the
         # edge nodes to their right (ĝ[A, 8(cc+2)+1] and k[B, 8(cc+1)+8]),
-        # and both rows' chain carries
+        # both rows' chain carries, and both rows' right-neighbour coeffs
         carry0 = (
             tuple(gA), zero,            # gnewsA, ĝ[A] first-node of cell+1
             tuple(kA[:_M]), krA0,       # kusA,  k[B, 8cc+8] = A's kr_in
             gA[0], kA[0],               # A chain carries (g_right, kr)
             zero, krB0,                 # B chain carries
+            aA_r, bA_r,                 # A's cell cc+1 coefficients
+            a_ref[edge], b_ref[edge],   # B's (first B cell is the edge)
         )
 
         def paired(w, carry):
-            gAp, gA_first, kAp, krA_in, gA_r, kA_r, gB_r, kB_r = carry
+            (gAp, gA_first, kAp, krA_in, gA_r, kA_r, gB_r, kB_r,
+             aA_r, bA_r, aB_r, bB_r) = carry
             ccB = ly1 - w              # B's cell (= A's previous cell)
             ccA = ccB - 1
             gupw = list(gAp) + [gA_first]
             kcw = list(kAp) + [krA_in]
-            gB, kB = b_cell(ccB, gB_r, kB_r, gupw, kcw)
-            gA2, kA2 = a_cell(ccA, gA_r, kA_r)
+            gB, kB, aB2, bB2 = b_cell(ccB, gB_r, kB_r, gupw, kcw, aB_r, bB_r)
+            gA2, kA2, aA2, bA2 = a_cell(ccA, gA_r, kA_r, aA_r, bA_r)
             return (
                 tuple(gA2), gAp[0],
                 tuple(kA2[:_M]), kA_r,
                 gA2[0], kA2[0],
                 gB[0], kB[0],
+                aA2, bA2,
+                aB2, bB2,
             )
 
         carry = lax.fori_loop(1, ly1, paired, carry0)
         # ---- drain: B alone at cell 0 ------------------------------------
-        gAp, gA_first, kAp, krA_in, _gA_r, _kA_r, gB_r, kB_r = carry
+        (gAp, gA_first, kAp, krA_in, _gA_r, _kA_r, gB_r, kB_r,
+         _aA_r, _bA_r, aB_r, bB_r) = carry
         b_cell(jnp.int32(0), gB_r, kB_r, list(gAp) + [gA_first],
-               list(kAp) + [krA_in])
+               list(kAp) + [krA_in], aB_r, bB_r)
 
 
 def _bwd_rows_fast_bf16(ly1, r, zh_ref, zhu_ref, dz_ref, rc_at, gout_ref,
