@@ -51,6 +51,17 @@ def default_requests(robot: PandaRobot, scene_tag: str, n: int = 4) -> List[Path
     are free of BOTH self-collision and scene collision (replaces the
     reference's downloaded MoveIt request YAMLs; a request whose endpoints sit
     inside an obstacle is unsolvable by construction).
+
+    Round-4 hardening (the round-2 vs round-4 sweep forensics,
+    ``results/flagship_r4/summary.md``): (a) endpoints need ≥ 0.10 m scene
+    clearance — the old 0.05 m admitted endpoints inside the learned
+    occupancy model's uncertainty band (exact-collision-free trajectories
+    scoring occ ≥ 0.95 under the reference's 0.2-threshold success
+    criterion), and (b) candidates are paired POSITIONALLY (pair j =
+    candidates 2j, 2j+1, accepted only if both are free) instead of by
+    compacting the free list — compaction re-pairs EVERY downstream request
+    when one borderline candidate flips across fp-level toolchain changes,
+    which is what broke round-2 comparability.
     """
     from ..models.robot.scene import get_scene, scene_sdf
     from .planning import create_body_points
@@ -62,17 +73,21 @@ def default_requests(robot: PandaRobot, scene_tag: str, n: int = 4) -> List[Path
     lower, upper = (np.asarray(a) for a in robot.joint_limits())
     # batch-label all candidates in two device calls (per-candidate float()
     # checks cost a sync round-trip each)
-    cands = rng.uniform(lower * 0.7, upper * 0.7, size=(400, 7))
+    cands = rng.uniform(lower * 0.7, upper * 0.7, size=(800, 7))
     self_hit = np.asarray(self_collision(robot, jnp.asarray(cands)))
     body = create_body_points(robot.qs_to_joints_xs(jnp.asarray(cands)), 5)
     env_clearance = np.asarray(scene_sdf(scene, body).min(axis=-1))
-    free = cands[(self_hit == 0.0) & (env_clearance > 0.05)]
+    ok = (self_hit == 0.0) & (env_clearance > 0.10)
     reqs = []
-    for i in range(0, min(2 * n, len(free) - 1), 2):
-        reqs.append(
-            PathRequest(tuple(map(float, free[i])), tuple(map(float, free[i + 1])))
-        )
-    return reqs[:n]
+    for j in range(len(cands) // 2):
+        a, b = 2 * j, 2 * j + 1
+        if ok[a] and ok[b]:
+            reqs.append(
+                PathRequest(tuple(map(float, cands[a])), tuple(map(float, cands[b])))
+            )
+        if len(reqs) == n:
+            break
+    return reqs
 
 
 def build_problem(
