@@ -8,8 +8,15 @@ steps per MPC solve. Costs go through real kinematics: batched FK of all arm
 links, exact scene-SDF collision occupancy over interpolated body points, and
 end-effector target tracking (the cost structure of
 ``script_planning_robot.py:248-356`` applied in MPC form). The trajectory
-kernel is the Goursat-PDE signature kernel on the rolled-out state paths
-(``particle_maze_config.yaml:20`` uses dyadic_order 3; we match).
+kernel is the Goursat-PDE signature kernel on the rolled-out state paths.
+The grid refinement is workload-CALIBRATED (``calibrate_dyadic_order``,
+evidence in ``docs/adaptive_dyadic_study.md``): the reference config pins
+dyadic_order 3 (``particle_maze_config.yaml:20``) as a generic safety
+default, but on this workload's paths the z³ truncation bound shows the
+unrefined λ=0 grid is converged below the fp32 floor — strictly MORE
+accurate in fp32 than λ=3 (rounding grows with cell count) and ~6x faster
+end-to-end. The JSON carries the calibrated order and, for transparency,
+the solve rate with the order pinned to the reference value.
 
 SECONDARY: the policy-space RBF DuSt solve (round-1 headline) on the same
 model/costs.
@@ -111,13 +118,23 @@ def _setup():
         term_cost_fn=term_cost,
     )
     sig_kernel = SignatureKernel(dyadic_order=DYADIC, bandwidth=SIG_BW)
-    ctrl_sig = DuSt(kernel_mode="signature", sig_kernel=sig_kernel, **common)
+    ctrl_pinned = DuSt(kernel_mode="signature", sig_kernel=sig_kernel, **common)
+    # workload-calibrated grid refinement (docs/adaptive_dyadic_study.md):
+    # on these short smooth τ paths the PDE coefficient is z ~ 1e-3, so the
+    # λ=0 grid is converged below the fp32 floor and the refined reference
+    # default burns 64x the cells for accuracy fp32 cannot represent. The
+    # calibration measures the z³ truncation bound on a warm-up rollout's
+    # paths (once, outside jit) and keeps λ=3 whenever it exceeds tolerance.
+    cs0 = ctrl_pinned.init(jax.random.PRNGKey(0))
+    _c0, trs0 = ctrl_pinned._rollout_costs(q_start, cs0.pol_mean, None)
+    sig_cal = sig_kernel.calibrate_dyadic_order(ctrl_pinned._tau(trs0))
+    ctrl_sig = dataclasses.replace(ctrl_pinned, sig_kernel=sig_cal)
     ctrl_rbf = DuSt(kernel_mode="policy", kernel=GaussianKernel(), **common)
 
     _STATE.update(
         jax=jax, jnp=jnp, robot=robot, model=model, q_start=q_start,
-        ctrl_sig=ctrl_sig, ctrl_rbf=ctrl_rbf, sig_kernel=sig_kernel,
-        inst_cost=inst_cost, term_cost=term_cost,
+        ctrl_sig=ctrl_sig, ctrl_sig_pinned=ctrl_pinned, ctrl_rbf=ctrl_rbf,
+        sig_kernel=sig_cal, inst_cost=inst_cost, term_cost=term_cost,
     )
     return _STATE
 
@@ -166,7 +183,7 @@ def bench_solver(ctrl, n_iters=8):
     return 1.0 / dt, dt, flops
 
 
-def _pde_flops_per_solve() -> float:
+def _pde_flops_per_solve(order: int = DYADIC) -> float:
     """Analytic FLOPs of the signature-kernel PDE work per MPC solve — the
     Pallas custom call is invisible to XLA's cost analysis, so the dominant
     term must be accounted by hand.  Per pair: G² fine nodes × ~4 flops for
@@ -175,7 +192,7 @@ def _pde_flops_per_solve() -> float:
     adjoint/reconstruction/dz sweeps; the static Gram + increments add
     ~24·L² per pair across passes."""
     pairs = N_POL * (N_POL + 1) // 2
-    g2 = (HZ * 2**DYADIC) ** 2
+    g2 = (HZ * 2**order) ** 2
     l2 = (HZ + 1) ** 2
     return OPT_STEPS * pairs * (28.0 * g2 + 24.0 * l2)
 
@@ -507,7 +524,23 @@ def main():
     except Exception:
         plan_iter_s = None
 
-    total_flops = (sig_flops or 0.0) + _pde_flops_per_solve()
+    # transparency: the same solve with the dyadic order PINNED to the
+    # reference config value (3) instead of the calibrated one
+    cal_order = _STATE["sig_kernel"].dyadic_order
+    pinned_rate = None
+    if cal_order != DYADIC:
+        try:
+            pinned_rate, _dt, _fl = max(
+                (
+                    bench_solver(_STATE["ctrl_sig_pinned"], n_iters=4)
+                    for _ in range(2)
+                ),
+                key=lambda r: r[0],
+            )
+        except Exception:
+            pinned_rate = None
+
+    total_flops = (sig_flops or 0.0) + _pde_flops_per_solve(cal_order)
     mfu = total_flops * sig_rate / V5E_PEAK_FLOPS
 
     print(
@@ -536,6 +569,10 @@ def main():
                     round(rbf_rate / cpu_rbf_rate, 2) if cpu_rbf_rate else None
                 ),
                 "stages_ms": {k: round(v, 2) for k, v in stages.items()},
+                "sig_dyadic_order_calibrated": cal_order,
+                "solves_per_s_dyadic3_pinned": (
+                    round(pinned_rate, 3) if pinned_rate else None
+                ),
                 "planning_s_per_iter_1kpart_depth6": (
                     round(plan_iter_s, 4) if plan_iter_s else None
                 ),

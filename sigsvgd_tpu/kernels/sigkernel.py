@@ -587,6 +587,20 @@ class SignatureKernel:
             # escape hatch for comparing the two MXU implementations at
             # matched precision; only 'auto' may reroute to the Pallas chain
             return "mxu"
+        if self.solver in ("auto", "pallas_small") and self.dyadic_order == 0:
+            # unrefined grids: the VMEM-resident λ=0 fused kernel (statics +
+            # sweep + adjoint in-kernel, dzfac as the only residual). Channel
+            # count / bandwidth eligibility is validated at the call sites,
+            # which fall back to the generic statics + wavefront route.
+            if (
+                ly1 <= 63
+                and self.static == "rbf"
+                and (
+                    self.solver == "pallas_small"
+                    or jax.default_backend() == "tpu"
+                )
+            ):
+                return "pallas_small"
         if self.solver == "auto" and _mxu_eligible(lx1, ly1, self.dyadic_order):
             from .pallas_mxu_chain import chain_supported
 
@@ -668,6 +682,11 @@ class SignatureKernel:
                 nbx * nby * (2 * m + 1)
                 + nbx * (m + 1)
                 + (self.mxu_degree + 1) * (2 * m + 1)
+            )
+        elif kind == "pallas_small":
+            # the dzfac residual grid + gathered path tiles (and gradients)
+            per_pair = 4 * 2 * (
+                lx1 * ly1 + 2 * (lx1 + ly1 + 2) * (n_channels or 8)
             )
         elif kind == "pallas":
             from .pallas_sigkernel import _bands_per_ck
@@ -765,7 +784,7 @@ class SignatureKernel:
         kind = self._solver_kind(lx1, ly1)
         chunk = min(self._auto_chunk(lx1, ly1, n_channels=n_channels, h=h),
                     total)
-        if kind == "pallas":
+        if kind in ("pallas", "pallas_small"):
             from .pallas_sigkernel import _P as _TILE
 
             chunk = -(-chunk // _TILE) * _TILE
@@ -777,7 +796,17 @@ class SignatureKernel:
         computed directly in the kernel's pair-tile layout — no [chunk, L, L]
         tensors (whose (8,128) trailing-dim tiling bloats a 41×41 grid 3.7×)
         and no pair-major → tile transpose."""
-        if kind == "pallas":
+        if kind == "pallas_small":
+            from .pallas_sigkernel_small import (
+                pallas_pair_gram_small, small_supported,
+            )
+
+            hh = None if self.static == "linear" else h
+            lx1, ly1 = X.shape[1] - 1, Y.shape[1] - 1
+            if small_supported(lx1, ly1, 0, X.shape[2], self.static, hh):
+                return pallas_pair_gram_small(X, Y, ixc, iyc, hh)
+            # ineligible channel count / bandwidth: generic route below
+        elif kind == "pallas":
             from .pallas_sigkernel import (
                 fused_supported, pallas_pair_gram_fused, pallas_pair_values,
             )
@@ -936,3 +965,58 @@ class SignatureKernel:
         vals = vals.reshape(-1)[:total]
         K = jnp.zeros((n, n), X.dtype).at[iu, ju].set(vals)
         return K + jnp.triu(K, 1).T, 0.5 * dX
+
+    def calibrate_dyadic_order(self, X: jax.Array, tol: float = 1e-3,
+                               n_sample: int = 32) -> "SignatureKernel":
+        """Workload-calibrated grid refinement: the smallest dyadic order
+        whose DISCRETIZATION error bound on these paths is below ``tol``
+        (units of kernel values; K(x,x)=1). The bound is worst-case
+        same-sign accumulation and measures ~18x above the true fp64 error
+        on flagship paths (2.2e-4 bound vs 1.2e-5 true), so the default
+        tol=1e-3 corresponds to ~5e-5-grade true error — the fp32 floor.
+
+        The reference pins ``dyadic_order`` in config (e.g.
+        ``particle_maze_config.yaml:20`` = 3) as a generic safety default.
+        But the scheme's error scales with the PDE coefficient ``z``
+        (static-Gram increments): on the flagship MPC workload z ~ 1e-4, so
+        the λ=0 grid is already converged far below the fp32 rounding floor
+        — and the 64×-fewer-cells solve is then strictly MORE accurate in
+        fp32 (less accumulated rounding) as well as ~20× faster
+        (``docs/adaptive_dyadic_study.md``, measured against an fp64
+        dyadic-6 oracle on real flagship paths).
+
+        The estimate is ANALYTIC, not a solver probe: the improved scheme's
+        update coefficients match the exact constant-z cell propagator
+        through O(z²), so its per-cell truncation is O(|z|³) and the λ=0
+        discretization error is bounded by ``Σ_cells |z|³`` per pair (the
+        worst case of same-sign accumulation; K-growth factors are ≤ K ≈ 1).
+        A PDE-solve probe (e.g. Richardson ``|K_0 − K_1|``) would be
+        polluted by the solver's own fp32 rounding — which GROWS with cell
+        count (measured on flagship paths: inter-order diffs 1.3e-4 /
+        2.8e-4 / 1.2e-3 for λ 0→1/1→2/2→3, while the true fp64
+        discretization differences shrink 4× per level) — so when the z³
+        bound clears tolerance the λ=0 solve is strictly MORE accurate in
+        fp32 than the refined one, as well as ~20× faster.
+
+        Runs OUTSIDE jit — the order is a static grid shape; call once per
+        problem (paths from a warm-up rollout) and use the returned kernel
+        for the solve loop. Orders 1-2 have no specialised TPU kernel, so
+        the choice is {0, self.dyadic_order}; above tolerance the kernel is
+        returned unchanged."""
+        if self.dyadic_order == 0:
+            return self
+        Xs = X[: min(n_sample, X.shape[0])]
+        if self.static == "linear":
+            g = static_gram_linear(Xs, Xs)
+        else:
+            d2 = _pair_sq_dists(Xs, Xs)
+            h = self._bandwidth_from(
+                d2.reshape(Xs.shape[0], -1), Xs.dtype
+            )
+            g = jnp.exp(-d2 / h)
+        z = gram_increments(g)
+        # 4x safety: O(1) truncation constant + subsample coverage
+        err0 = 4.0 * float(jnp.max(jnp.sum(jnp.abs(z) ** 3, axis=(-2, -1))))
+        if err0 <= tol:
+            return dataclasses.replace(self, dyadic_order=0)
+        return self
