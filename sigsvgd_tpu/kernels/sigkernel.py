@@ -657,7 +657,7 @@ class SignatureKernel:
         )
 
     def _auto_chunk(self, lx1: int, ly1: int, budget_bytes: int = 4 * 10**9,
-                    n_channels=None, h=None) -> int:
+                    n_channels=None, h=None, kind: Optional[str] = None) -> int:
         """Pair-chunk size for the streamed-Gram pipeline, sized by the
         ACTIVE solver's per-pair backward working set. The wavefront
         adjoint's coefficient fields dominate its footprint, yielding small
@@ -666,7 +666,8 @@ class SignatureKernel:
         larger chunks — fewer sequential ``lax.map`` segments and
         better-utilized kernel launches for the same memory budget."""
         lam = self.dyadic_order
-        kind = self._solver_kind(lx1, ly1)
+        if kind is None:
+            kind = self._solver_kind(lx1, ly1)
         if kind == "mxu_pallas":
             # no residuals and a VMEM-resident adjoint: the only per-pair
             # HBM state is z/dz (packed in the [nt, nc, 1, P] tile layout)
@@ -782,8 +783,21 @@ class SignatureKernel:
         Never pads a small pair list up to the memory-budget chunk size; the
         Pallas pipeline wants whole [16, 128] pair tiles per block."""
         kind = self._solver_kind(lx1, ly1)
-        chunk = min(self._auto_chunk(lx1, ly1, n_channels=n_channels, h=h),
-                    total)
+        if kind == "pallas_small" and n_channels is not None:
+            from .pallas_sigkernel_small import small_supported
+
+            # validate eligibility HERE, not just in _block_values: an
+            # ineligible shape (e.g. channels > 8) falls back to the generic
+            # statics+wavefront route, which must NOT inherit the
+            # pallas_small chunk sizing — its [chunk, L, L] static-Gram
+            # tensors would be multi-GB at a 300k-pair chunk (ADVICE r4)
+            hh = None if self.static == "linear" else h
+            if not small_supported(lx1, ly1, 0, n_channels, self.static, hh):
+                kind = "wavefront"
+        chunk = min(
+            self._auto_chunk(lx1, ly1, n_channels=n_channels, h=h, kind=kind),
+            total,
+        )
         if kind in ("pallas", "pallas_small"):
             from .pallas_sigkernel import _P as _TILE
 
@@ -937,6 +951,20 @@ class SignatureKernel:
         """
         n, L = X.shape[0], X.shape[1]
         lx1 = ly1 = L - 1
+        if self._solver_kind(lx1, ly1) == "pallas_small":
+            from .pallas_sigkernel_block import (
+                block_gram_and_grad, block_supported,
+            )
+
+            if block_supported(n, L, X.shape[2], self.static, True):
+                # block-structured fused kernel (r5): row/col particle
+                # blocks instead of a gathered pair list — no per-pair
+                # gather/transpose, no 500k-pair scatter-add in the VJP, no
+                # dzfac HBM residual (banded in-kernel remat). 94 -> 39 ms
+                # at the flagship MPC shape (results/lambda0_profile_r5.json
+                # for the layer split that motivated it).
+                h = self._subsampled_bandwidth(X, X)
+                return block_gram_and_grad(X, h)
         if self._dense_grad_ok(n, lx1):
             def total(x):
                 k = self.gram(x, lax.stop_gradient(x))
