@@ -288,9 +288,78 @@ def _pullback_row(xb_ref, yb_ref, dxr_ref, dya_ref, w, i, C):
         dya_ref[:, c] = dya_ref[:, c] + (w * xc[None] - q)
 
 
+def _block_values_kernel(L, C, xb_ref, yb_ref, k_ref, ynh_ref, krow_ref,
+                         a_ref, b_ref):
+    """Values-only tile: forward sweep, no checkpoints/adjoint."""
+    ly1 = L - 1
+    g_row = partial(_statics_row, xb_ref, yb_ref, ynh_ref, C=C)
+    _fill_ynh(yb_ref, ynh_ref, C)
+    krow_ref[:] = jnp.ones_like(krow_ref)
+    gl = g_row(0)
+    for i in range(L - 1):
+        gu = g_row(i + 1)
+        _coefs(gl, gu, a_ref, b_ref)
+        _sweep_row(krow_ref, a_ref, b_ref, ly1)
+        gl = gu
+    k_ref[0] = krow_ref[ly1]
+
+
 # ---------------------------------------------------------------------------
-# Host wrapper.
+# Host wrappers.
 # ---------------------------------------------------------------------------
+
+
+def _prep_blocks(X: jax.Array, h: jax.Array):
+    """Pad, prescale and slice X into per-tile row/col blocks."""
+    n, L, C = X.shape
+    n_pad = _cdiv(n, _LB) * _LB
+    nI, nJ = n_pad // _SB, n_pad // _LB
+    I, J, seed = _tile_lists(n_pad)
+    Xp = jnp.zeros((n_pad, L, C), X.dtype).at[:n].set(X)
+    scale = jnp.sqrt(2.0 / h).astype(X.dtype)
+    Xs = Xp * scale
+    xb = Xs.reshape(nI, _SB, L * C)[I]                       # [T, 16, LC]
+    yb = jnp.transpose(Xs, (1, 2, 0)).reshape(L, C, nJ, _LB)
+    yb = jnp.transpose(yb, (2, 0, 1, 3))[J]                  # [T, L, C, 128]
+    return n_pad, nI, nJ, I, J, seed, scale, xb, yb
+
+
+def _assemble_k(k_t, n, n_pad, nI, nJ, I, J, dtype):
+    Ksq = jnp.zeros((nI, nJ, _SB, _LB), dtype).at[I, J].set(k_t)
+    Kfull = jnp.transpose(Ksq, (0, 2, 1, 3)).reshape(n_pad, n_pad)[:n, :n]
+    bi = np.arange(n) // _LB
+    lower = jnp.asarray(bi[:, None] > bi[None, :])
+    return jnp.where(lower, Kfull.T, Kfull)
+
+
+def block_gram(X: jax.Array, h: jax.Array) -> jax.Array:
+    """Symmetric signature-kernel Gram ``K [n, n]`` (values only)."""
+    n, L, C = X.shape
+    n_pad, nI, nJ, I, J, _seed, _scale, xb, yb = _prep_blocks(X, h)
+    T = I.shape[0]
+    kern = partial(_block_values_kernel, L, C)
+    row = (L, _SB, _LB)
+    k_t = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, _SB, L * C), lambda p: (p, 0, 0)),
+            pl.BlockSpec((1, L, C, _LB), lambda p: (p, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _SB, _LB), lambda p: (p, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, _SB, _LB), X.dtype),
+        scratch_shapes=[
+            pltpu.VMEM(row, X.dtype),                # ynh
+            pltpu.VMEM(row, X.dtype),                # krow
+            pltpu.VMEM((L - 1, _SB, _LB), X.dtype),  # a
+            pltpu.VMEM((L - 1, _SB, _LB), X.dtype),  # b
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,)
+        ),
+        interpret=_interpret(),
+    )(xb, yb)
+    return _assemble_k(k_t, n, n_pad, nI, nJ, I, J, X.dtype)
 
 
 def block_gram_and_grad(X: jax.Array, h: jax.Array):
@@ -302,19 +371,9 @@ def block_gram_and_grad(X: jax.Array, h: jax.Array):
     Not differentiable further — consumed as data by the Stein velocity.
     """
     n, L, C = X.shape
-    n_pad = _cdiv(n, _LB) * _LB
-    nI, nJ = n_pad // _SB, n_pad // _LB
-    I, J, seed = _tile_lists(n_pad)
+    n_pad, nI, nJ, I, J, seed, scale, xb, yb = _prep_blocks(X, h)
     ms = jnp.asarray(_mask_seed_blocks(n, I, J, seed))
     T = I.shape[0]
-
-    Xp = jnp.zeros((n_pad, L, C), X.dtype).at[:n].set(X)
-    scale = jnp.sqrt(2.0 / h).astype(X.dtype)
-    Xs = Xp * scale
-    xb = Xs.reshape(nI, _SB, L * C)[I]                       # [T, 16, LC]
-    yb = jnp.transpose(Xs, (1, 2, 0)).reshape(L, C, nJ, _LB)
-    yb = jnp.transpose(yb, (2, 0, 1, 3))[J]                  # [T, L, C, 128]
-
     lx1 = L - 1
     R = _pick_r(lx1)
     nck = max(1, _cdiv(lx1, R) - 1)
@@ -359,12 +418,7 @@ def block_gram_and_grad(X: jax.Array, h: jax.Array):
     )(xb, yb, ms)
 
     # ---- assembly -------------------------------------------------------
-    Ksq = jnp.zeros((nI, nJ, _SB, _LB), X.dtype).at[I, J].set(k_t)
-    Kfull = jnp.transpose(Ksq, (0, 2, 1, 3)).reshape(n_pad, n_pad)[:n, :n]
-    bi = np.arange(n) // _LB
-    lower = jnp.asarray(bi[:, None] > bi[None, :])
-    K = jnp.where(lower, Kfull.T, Kfull)
-
+    K = _assemble_k(k_t, n, n_pad, nI, nJ, I, J, X.dtype)
     dXrow = (
         jnp.zeros((nI, _SB, L * C), X.dtype).at[I].add(dxr)
         .reshape(n_pad, L, C)

@@ -914,6 +914,13 @@ class SignatureKernel:
         gradient ``grad(sum(gram(x, stop_gradient(x))))`` — callers must
         halve it (:meth:`gram_and_grad` does)."""
         n = X.shape[0]
+        if self._solver_kind(X.shape[1] - 1, X.shape[1] - 1) == "pallas_small":
+            from .pallas_sigkernel_block import block_gram, block_supported
+
+            if block_supported(n, X.shape[1], X.shape[2], self.static, True):
+                # block-structured route: per-tile path blocks instead of a
+                # gathered pair list (see gram_and_grad / r5 notes)
+                return block_gram(X, self._subsampled_bandwidth(X, X))
         iu, ju = jnp.triu_indices(n)
         h = self._subsampled_bandwidth(X, X)
         vals = self._pair_values(X, X, iu, ju, h)
