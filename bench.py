@@ -14,9 +14,14 @@ evidence in ``docs/adaptive_dyadic_study.md``): the reference config pins
 dyadic_order 3 (``particle_maze_config.yaml:20``) as a generic safety
 default, but on this workload's paths the z³ truncation bound shows the
 unrefined λ=0 grid is converged below the fp32 floor — strictly MORE
-accurate in fp32 than λ=3 (rounding grows with cell count) and ~6x faster
-end-to-end. The JSON carries the calibrated order and, for transparency,
-the solve rate with the order pinned to the reference value.
+accurate than λ=3 *within this framework's fp32 solver* (rounding grows
+with cell count) and ~6x faster end-to-end. Caveat (ADVICE r4): the
+reference itself computes the PDE in float64 (``_traj_kernels.py:205``),
+where λ=3 is ~4 orders more accurate than λ=0 — the calibration argument
+is about what fp32 can represent, not about matching the reference's fp64
+accuracy. The JSON therefore carries the calibrated order, the solve rate
+with the order pinned to the reference value, and ratios in which the CPU
+baseline solves the SAME grid as the TPU side (VERDICT r4 item 2).
 
 SECONDARY: the policy-space RBF DuSt solve (round-1 headline) on the same
 model/costs.
@@ -360,16 +365,17 @@ def bench_torch_cpu_policy(n_solves: int = 3) -> float:
     return n_solves / dt
 
 
-def bench_torch_cpu_signature(n_small: int = 32) -> float:
+def bench_torch_cpu_signature(n_small: int = 32, order: int = DYADIC) -> float:
     """Signature-kernel MPC solve time in the reference's execution model at
     ``n_small`` particles (fp64 PDE like the reference,
-    ``_traj_kernels.py:205``). Returns seconds per MPC solve (OPT_STEPS SVGD
-    steps) at ``n_small`` particles; extrapolation to N_POL happens in
+    ``_traj_kernels.py:205``) on a dyadic grid of the given ``order``.
+    Returns seconds per MPC solve (OPT_STEPS SVGD steps) at ``n_small``
+    particles; extrapolation to N_POL happens in
     :func:`bench_torch_cpu_signature_fit` from several measured sizes."""
     import torch
 
     torch.manual_seed(0)
-    G = (HZ) * 2**DYADIC  # fine grid per pair (tau length H+1 → H cells)
+    G = (HZ) * 2**order  # fine grid per pair (tau length H+1 → H cells)
 
     pol = torch.empty(n_small, HZ, DOF).uniform_(-1, 1)
     state = torch.zeros(DOF)
@@ -387,7 +393,7 @@ def bench_torch_cpu_signature(n_small: int = 32) -> float:
         d2 = ((x[:, None, :, None, :] - x[None, :, None, :, :]) ** 2).sum(-1)
         g = torch.exp(-d2 / SIG_BW)
         inc = (g[..., 1:, 1:] - g[..., 1:, :-1] - g[..., :-1, 1:] + g[..., :-1, :-1])
-        z = (inc / 4.0**DYADIC).reshape(n * n, HZ, HZ)
+        z = (inc / 4.0**order).reshape(n * n, HZ, HZ)
         a = 1 + 0.5 * z + z * z / 12
         b = 1 - z * z / 12
         gx = G
@@ -397,8 +403,8 @@ def bench_torch_cpu_signature(n_small: int = 32) -> float:
         for s in range(2, 2 * gx + 1):
             jj = s - ii
             interior = (ii >= 1) & (ii <= gx) & (jj >= 1) & (jj <= gx)
-            ci = ((ii - 1).clamp(0, gx - 1) >> DYADIC).clamp(0, HZ - 1)
-            cj = ((jj - 1).clamp(0, gx - 1) >> DYADIC).clamp(0, HZ - 1)
+            ci = ((ii - 1).clamp(0, gx - 1) >> order).clamp(0, HZ - 1)
+            cj = ((jj - 1).clamp(0, gx - 1) >> order).clamp(0, HZ - 1)
             new = (dm1 + torch.roll(dm1, 1, dims=1)) * a[:, ci, cj] - torch.roll(
                 dm2, 1, dims=1
             ) * b[:, ci, cj]
@@ -422,23 +428,33 @@ def bench_torch_cpu_signature(n_small: int = 32) -> float:
     return time.perf_counter() - t0
 
 
-def bench_torch_cpu_signature_fit(sizes=(8, 16, 24, 32, 48, 64)):
+def bench_torch_cpu_signature_fit(sizes=(8, 16, 24, 32, 48, 64),
+                                  order: int = DYADIC):
     """Measure the torch-CPU signature solve at several particle counts and
     fit ``log(dt) = a + e·log(pairs)`` (VERDICT r2 item 7: one measured point
     does not establish linearity; VERDICT r3 item 6: ≥5 points for a stable
-    exponent). Returns a dict with the measured points, the fitted pair-count
-    exponent (with a per-point leave-one-out spread as the confidence band),
-    and the solves/s extrapolated to N_POL from the largest measured point.
-    fp64 PDE backward at n=128 needs ~100 GB of autograd storage, so 64 is
-    the largest honestly measurable size on this host."""
+    exponent). Each size takes the MIN over repeats (VERDICT r4 item 2c:
+    single-shot points were visibly non-monotonic at adjacent sizes —
+    CPU scheduling noise above the inter-size signal; min-of-N is the
+    standard noise-floor estimator). Returns a dict with the measured
+    points, the fitted pair-count exponent (with a per-point leave-one-out
+    spread as the confidence band), and the solves/s extrapolated to N_POL
+    from the largest measured point. fp64 PDE backward at n=128 needs
+    ~100 GB of autograd storage, so 64 is the largest honestly measurable
+    size on this host."""
     import math
 
     points = []
     raw_dts = []
     for n in sizes:
-        dt = bench_torch_cpu_signature(n)
+        # repeats scale down with cost: λ=3 at n≥48 runs minutes per shot
+        reps = 3 if (order == 0 or n <= 32) else 2
+        dts = [bench_torch_cpu_signature(n, order) for _ in range(reps)]
+        dt = min(dts)
         raw_dts.append((n, dt))
-        points.append({"n_particles": n, "solve_s": round(dt, 3)})
+        points.append(
+            {"n_particles": n, "solve_s": round(dt, 3), "n_repeats": reps}
+        )
         if dt > 300.0:  # don't let one more doubling eat the bench budget
             break
 
@@ -475,6 +491,37 @@ def bench_torch_cpu_signature_fit(sizes=(8, 16, 24, 32, 48, 64)):
     }
 
 
+def _run_parity_replay(timeout_s: int = 600):
+    """Run the maze 20-step step-locked replay vs the imported torch
+    reference (tests/test_reference_parity.py) in a CPU subprocess and
+    return its MSE dict — BASELINE.json's primary metric is solves/s AND
+    control MSE, so the round artifact must carry both (VERDICT r4 item 5).
+    Returns None when the reference checkout or torch is unavailable."""
+    import os
+    import subprocess
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(prefix="sigsvgd_parity_"), "p.json")
+    env = dict(os.environ, SIGSVGD_PARITY_OUT=out)
+    try:
+        r = subprocess.run(
+            [
+                "python", "-m", "pytest",
+                "tests/test_reference_parity.py::"
+                "test_closed_loop_maze_workload_parity",
+                "-q", "-m", "slow or not slow",
+            ],
+            env=env, timeout=timeout_s, capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if r.returncode != 0 or not os.path.exists(out):
+            return {"error": f"parity replay rc={r.returncode}"}
+        with open(out) as f:
+            return json.load(f)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        return {"error": str(e)[:200]}
+
+
 def main():
     _setup()
     # best-of-3 measurement rounds: the remote-dispatch tunnel occasionally
@@ -485,39 +532,57 @@ def main():
     rbf_rate, _rbf_dt, _ = max(rbf_runs, key=lambda r: r[0])
     stages = bench_stages()
 
+    cal_order = _STATE["sig_kernel"].dyadic_order
+
+    # CPU baselines at BOTH grid resolutions (VERDICT r4 item 2): every
+    # ratio below compares solves of the SAME grid. The λ=3 fit is the
+    # reference-as-configured baseline; the calibrated-order fit is the
+    # same-resolution baseline for the headline (under the calibration's own
+    # accuracy argument the CPU baseline is equally entitled to λ=0).
     try:
-        cpu_sig = bench_torch_cpu_signature_fit()
-        cpu_sig_rate = cpu_sig["extrapolated_rate_at_n_pol"]
+        cpu_sig3 = bench_torch_cpu_signature_fit(order=DYADIC)
     except Exception:
-        cpu_sig, cpu_sig_rate = None, None
+        cpu_sig3 = None
+    if cal_order == DYADIC:
+        cpu_sig_cal = cpu_sig3
+    else:
+        try:
+            cpu_sig_cal = bench_torch_cpu_signature_fit(order=cal_order)
+        except Exception:
+            cpu_sig_cal = None
     try:
         cpu_rbf_rate = bench_torch_cpu_policy()
     except Exception:
         cpu_rbf_rate = None
 
-    # measured-scale signature ratio: TPU solve at the largest particle count
-    # the fp64 torch baseline was DIRECTLY measured at (no extrapolation)
-    vs_measured_scale = None
-    if cpu_sig is not None:
-        # guarded: a failure at the small shape must not discard the
-        # expensive measurements above (ADVICE r3)
+    def _measured_scale(ctrl, cpu_fit, n_iters=10):
+        """No-extrapolation ratio at the largest DIRECTLY measured CPU size,
+        TPU and CPU solving the same grid. Guarded: a failure must not
+        discard the expensive measurements above (ADVICE r3)."""
+        if cpu_fit is None:
+            return None
         try:
-            ctrl_small = dataclasses.replace(
-                _STATE["ctrl_sig"], n_pol=cpu_sig["largest_n"]
-            )
+            ctrl_small = dataclasses.replace(ctrl, n_pol=cpu_fit["largest_n"])
             small_rate, _dt, _fl = max(
-                (bench_solver(ctrl_small, n_iters=10) for _ in range(2)),
+                (bench_solver(ctrl_small, n_iters=n_iters) for _ in range(2)),
                 key=lambda r: r[0],
             )
-            vs_measured_scale = {
-                "n_particles": cpu_sig["largest_n"],
+            return {
+                "n_particles": cpu_fit["largest_n"],
                 "tpu_solves_per_s": round(small_rate, 2),
                 "ratio": round(
-                    small_rate / cpu_sig["measured_rate_at_largest"], 1
+                    small_rate / cpu_fit["measured_rate_at_largest"], 1
                 ),
             }
         except Exception:
-            vs_measured_scale = None
+            return None
+
+    vs_measured_scale = _measured_scale(_STATE["ctrl_sig"], cpu_sig_cal)
+    vs_measured_scale_pinned = (
+        None
+        if cal_order == DYADIC
+        else _measured_scale(_STATE["ctrl_sig_pinned"], cpu_sig3, n_iters=6)
+    )
 
     try:
         plan_iter_s = bench_planning_iter()
@@ -526,7 +591,6 @@ def main():
 
     # transparency: the same solve with the dyadic order PINNED to the
     # reference config value (3) instead of the calibrated one
-    cal_order = _STATE["sig_kernel"].dyadic_order
     pinned_rate = None
     if cal_order != DYADIC:
         try:
@@ -540,33 +604,77 @@ def main():
         except Exception:
             pinned_rate = None
 
+    # MC-action-samples variant (VERDICT r4 item 10): the reference maze
+    # config runs n_action_samples=10 (particle_maze_config.yaml); time the
+    # score-function path so the last hot-path variant is tracked
+    try:
+        ctrl_mc = dataclasses.replace(
+            _STATE["ctrl_sig"], n_action_samples=10
+        )
+        mc_rate, _dt, _fl = bench_solver(ctrl_mc, n_iters=4)
+    except Exception:
+        mc_rate = None
+
+    # control-parity artifact (VERDICT r4 item 5): run the step-locked maze
+    # replay vs the imported torch reference in a CPU subprocess (tests must
+    # not run over the TPU tunnel) and embed the MSE
+    parity = _run_parity_replay()
+
     total_flops = (sig_flops or 0.0) + _pde_flops_per_solve(cal_order)
     mfu = total_flops * sig_rate / V5E_PEAK_FLOPS
 
+    def _rate(fit):
+        return fit["extrapolated_rate_at_n_pol"] if fit else None
+
+    cpu_cal_rate, cpu3_rate = _rate(cpu_sig_cal), _rate(cpu_sig3)
     print(
         json.dumps(
             {
                 "metric": "signature_mpc_solves_per_s_1chip_7dof_h40_1kpart",
                 "value": round(sig_rate, 3),
                 "unit": "solves/s",
+                # SAME-RESOLUTION headline ratio: TPU at the calibrated order
+                # vs the torch-CPU fp64 baseline solving the SAME grid
                 "vs_baseline": (
-                    round(sig_rate / cpu_sig_rate, 2) if cpu_sig_rate else None
+                    round(sig_rate / cpu_cal_rate, 2) if cpu_cal_rate else None
                 ),
                 "baseline_method": (
-                    "torch-cpu fp64 PDE, measured at multiple particle counts,"
-                    " extrapolated with the fitted pair-count exponent"
+                    "torch-cpu fp64 PDE at the SAME dyadic order as the TPU"
+                    " solve, min-of-N repeats per size, extrapolated with the"
+                    " fitted pair-count exponent; reference-as-configured"
+                    " (dyadic 3) ratio reported separately"
                 ),
-                "baseline_points": cpu_sig["points"] if cpu_sig else None,
+                # reference-as-configured ratio: both sides pinned to λ=3
+                "vs_baseline_reference_config_dyadic3": (
+                    round(pinned_rate / cpu3_rate, 2)
+                    if (pinned_rate and cpu3_rate)
+                    else (
+                        round(sig_rate / cpu3_rate, 2)
+                        if (cal_order == DYADIC and cpu3_rate)
+                        else None
+                    )
+                ),
+                "baseline_points": cpu_sig_cal["points"] if cpu_sig_cal else None,
                 "baseline_pair_exponent": (
-                    cpu_sig["pair_exponent"] if cpu_sig else None
+                    cpu_sig_cal["pair_exponent"] if cpu_sig_cal else None
                 ),
                 "baseline_pair_exponent_loo_band": (
-                    cpu_sig["pair_exponent_loo_band"] if cpu_sig else None
+                    cpu_sig_cal["pair_exponent_loo_band"] if cpu_sig_cal else None
+                ),
+                "baseline_points_dyadic3": (
+                    cpu_sig3["points"] if cpu_sig3 else None
+                ),
+                "baseline_pair_exponent_dyadic3": (
+                    cpu_sig3["pair_exponent"] if cpu_sig3 else None
                 ),
                 "vs_baseline_measured_scale": vs_measured_scale,
+                "vs_baseline_measured_scale_dyadic3": vs_measured_scale_pinned,
                 "secondary_policy_rbf_solves_per_s": round(rbf_rate, 2),
                 "secondary_vs_torch_cpu": (
                     round(rbf_rate / cpu_rbf_rate, 2) if cpu_rbf_rate else None
+                ),
+                "solves_per_s_mc_action_samples_10": (
+                    round(mc_rate, 3) if mc_rate else None
                 ),
                 "stages_ms": {k: round(v, 2) for k, v in stages.items()},
                 "sig_dyadic_order_calibrated": cal_order,
@@ -576,6 +684,7 @@ def main():
                 "planning_s_per_iter_1kpart_depth6": (
                     round(plan_iter_s, 4) if plan_iter_s else None
                 ),
+                "control_parity": parity,
                 "flops_per_solve": total_flops,
                 "mfu_vs_bf16_peak": round(mfu, 4),
             }

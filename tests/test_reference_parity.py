@@ -14,6 +14,7 @@ Matmul association differs, so agreement is asserted at ~1e-5 relative.
 """
 from __future__ import annotations
 
+import os
 import sys
 import types
 
@@ -1389,5 +1390,26 @@ def test_closed_loop_maze_workload_parity(ref, monkeypatch):
     ref_s, my_s = np.stack(ref_states), np.stack(my_states)
     control_mse = float(((ref_a - my_a) ** 2).mean())
     state_mse = float(((ref_s - my_s) ** 2).mean())
+
+    # driver-visible parity artifact (VERDICT r4 item 5): bench.py runs this
+    # test with SIGSVGD_PARITY_OUT set and embeds the MSE in the round JSON,
+    # so the driver tracks control parity alongside solves/s every round
+    out = os.environ.get("SIGSVGD_PARITY_OUT")
+    if out:
+        import json
+
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "workload": "maze 20-step step-locked closed-loop replay"
+                    " (particle_maze_config.yaml semantics, trajectory"
+                    " kernel, raw-lr update)",
+                    "n_steps": n_steps,
+                    "control_mse_vs_reference": control_mse,
+                    "state_mse_vs_reference": state_mse,
+                },
+                f,
+            )
+
     assert control_mse < 1e-5, (control_mse, ref_a[:4], my_a[:4])
     assert state_mse < 1e-5, (state_mse, ref_s[:4], my_s[:4])
