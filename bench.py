@@ -620,6 +620,34 @@ def main():
     # not run over the TPU tunnel) and embed the MSE
     parity = _run_parity_replay()
 
+    # utilization against the RIGHT roof (VERDICT r4 item 8): fraction of
+    # the measured STRUCTURAL ceiling of the λ=3 band-sweep loop shape (the
+    # kernel is VMEM-structure-bound, not FLOP-bound — raw FMA issue is
+    # 0.4 cycles/op on this VPU). Regenerated by examples/vpu_ceiling.py;
+    # mfu_vs_bf16_peak is kept only as the conventional (misleading) metric.
+    vpu = None
+    try:
+        import os
+
+        p = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "results", "vpu_ceiling_r5.json",
+        )
+        with open(p) as f:
+            v = json.load(f)
+        vpu = {
+            "lambda3_fwd": round(v["vpu_issue_ceiling_fraction_fwd"], 3),
+            "lambda3_bwd_vs_structural": round(
+                v["vpu_issue_ceiling_fraction_bwd"], 3
+            ),
+            "lambda3_bwd_vs_arithmetic_bound": round(
+                v["bwd_fraction_of_arithmetic_bound"], 3
+            ),
+            "source": "results/vpu_ceiling_r5.json (examples/vpu_ceiling.py)",
+        }
+    except Exception:
+        vpu = None
+
     total_flops = (sig_flops or 0.0) + _pde_flops_per_solve(cal_order)
     mfu = total_flops * sig_rate / V5E_PEAK_FLOPS
 
@@ -685,6 +713,7 @@ def main():
                     round(plan_iter_s, 4) if plan_iter_s else None
                 ),
                 "control_parity": parity,
+                "vpu_structural_ceiling_fraction": vpu,
                 "flops_per_solve": total_flops,
                 "mfu_vs_bf16_peak": round(mfu, 4),
             }
