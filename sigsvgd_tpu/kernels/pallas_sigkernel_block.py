@@ -362,18 +362,16 @@ def block_gram(X: jax.Array, h: jax.Array) -> jax.Array:
     return _assemble_k(k_t, n, n_pad, nI, nJ, I, J, X.dtype)
 
 
-def block_gram_and_grad(X: jax.Array, h: jax.Array):
-    """Symmetric signature-kernel Gram and full-sum pull-back gradient.
+def _block_call(X: jax.Array, h: jax.Array, xb, yb, ms):
+    """Invoke the fused gram+grad kernel on an explicit tile batch.
 
-    Returns ``(K [n, n], dX [n, L, C])`` with ``dX = ½·∂Σ_{jl}K/∂X`` — the
-    detached-second-argument repulsion gradient ``gram_and_grad`` returns
-    (``sigkernel.py``; reference semantics ``trajectory_svgd.py:55-69``).
-    Not differentiable further — consumed as data by the Stein velocity.
-    """
+    ``xb [T, 16, L·C]`` / ``yb [T, L, C, 128]`` are per-tile row/col path
+    blocks (pre-scaled), ``ms [T, 16, 128]`` the per-tile mask·seed. Returns
+    the raw per-tile outputs ``(k_t, dxr, dyc)``. Used directly by the
+    sharded tile-subset route (``block_tiles_partial``) and via
+    :func:`block_gram_and_grad` for the full single-device schedule."""
     n, L, C = X.shape
-    n_pad, nI, nJ, I, J, seed, scale, xb, yb = _prep_blocks(X, h)
-    ms = jnp.asarray(_mask_seed_blocks(n, I, J, seed))
-    T = I.shape[0]
+    T = xb.shape[0]
     lx1 = L - 1
     R = _pick_r(lx1)
     nck = max(1, _cdiv(lx1, R) - 1)
@@ -416,6 +414,21 @@ def block_gram_and_grad(X: jax.Array, h: jax.Array):
         ),
         interpret=_interpret(),
     )(xb, yb, ms)
+    return k_t, dxr, dyc
+
+
+def block_gram_and_grad(X: jax.Array, h: jax.Array):
+    """Symmetric signature-kernel Gram and full-sum pull-back gradient.
+
+    Returns ``(K [n, n], dX [n, L, C])`` with ``dX = ½·∂Σ_{jl}K/∂X`` — the
+    detached-second-argument repulsion gradient ``gram_and_grad`` returns
+    (``sigkernel.py``; reference semantics ``trajectory_svgd.py:55-69``).
+    Not differentiable further — consumed as data by the Stein velocity.
+    """
+    n, L, C = X.shape
+    n_pad, nI, nJ, I, J, seed, scale, xb, yb = _prep_blocks(X, h)
+    ms = jnp.asarray(_mask_seed_blocks(n, I, J, seed))
+    k_t, dxr, dyc = _block_call(X, h, xb, yb, ms)
 
     # ---- assembly -------------------------------------------------------
     K = _assemble_k(k_t, n, n_pad, nI, nJ, I, J, X.dtype)
@@ -427,3 +440,85 @@ def block_gram_and_grad(X: jax.Array, h: jax.Array):
     dYcol = jnp.transpose(dYcol, (0, 2, 1)).reshape(n_pad, L, C)
     dX = (dXrow + dYcol)[:n] * scale
     return K, 0.5 * dX
+
+
+def n_block_tiles(n: int) -> int:
+    """Tile count of the full symmetric schedule for ``n`` particles."""
+    return _tile_lists(_cdiv(n, _LB) * _LB)[0].shape[0]
+
+
+def block_tile_shard(n: int, ndev: int):
+    """Static per-device tile lists for the sharded symmetric Gram.
+
+    Splits the full triangle tile schedule round-robin over ``ndev``
+    devices, padding every device to the same tile count with zero-weight
+    dummies. Returns numpy arrays ``(I [ndev, Td], J [ndev, Td],
+    seed [ndev, Td], w [ndev, Td])``; dummy tiles have ``w = 0`` (their K
+    tiles are weight-masked out and their gradients vanish through the
+    zeroed mask-seed)."""
+    n_pad = _cdiv(n, _LB) * _LB
+    I, J, seed = _tile_lists(n_pad)
+    per = [[] for _ in range(ndev)]
+    for t in range(I.shape[0]):
+        per[t % ndev].append((I[t], J[t], seed[t], 1.0))
+    td = max(len(p) for p in per)
+    for p in per:
+        while len(p) < td:
+            p.append((0, 0, 0.0, 0.0))
+    arr = np.asarray(per, np.float32)         # [ndev, Td, 4]
+    return (
+        arr[..., 0].astype(np.int32),
+        arr[..., 1].astype(np.int32),
+        arr[..., 2].astype(np.float32),
+        arr[..., 3].astype(np.float32),
+    )
+
+
+def block_tiles_partial(X: jax.Array, h: jax.Array, I: jax.Array,
+                        J: jax.Array, seed: jax.Array, w: jax.Array):
+    """Per-device partial Gram+grad over an explicit tile subset.
+
+    ``X [n, L, C]`` is the FULL (replicated) path batch; ``I/J/seed/w`` are
+    this device's tile lists from :func:`block_tile_shard` (traced values —
+    they differ per device under shard_map). Returns partial sums
+    ``(Ksq [nI, nJ, 16, 128], dXp [n_pad, L, C])`` that the caller psums
+    over the mesh and feeds to :func:`block_assemble`."""
+    n, L, C = X.shape
+    n_pad = _cdiv(n, _LB) * _LB
+    nI, nJ = n_pad // _SB, n_pad // _LB
+    Xp = jnp.zeros((n_pad, L, C), X.dtype).at[:n].set(X)
+    scale = jnp.sqrt(2.0 / h).astype(X.dtype)
+    Xs = Xp * scale
+    xb = Xs.reshape(nI, _SB, L * C)[I]
+    yb = jnp.transpose(Xs, (1, 2, 0)).reshape(L, C, nJ, _LB)
+    yb = jnp.transpose(yb, (2, 0, 1, 3))[J]
+    # n-boundary mask · cotangent seed · dummy-tile weight, built on-device
+    # from the traced tile lists
+    rows = I[:, None] * _SB + jnp.arange(_SB)[None, :]
+    cols = J[:, None] * _LB + jnp.arange(_LB)[None, :]
+    m = (rows[:, :, None] < n) & (cols[:, None, :] < n)
+    ms = m.astype(X.dtype) * (seed * w)[:, None, None]
+    k_t, dxr, dyc = _block_call(X, h, xb, yb, ms)
+    Ksq = jnp.zeros((nI, nJ, _SB, _LB), X.dtype).at[I, J].add(
+        k_t * w[:, None, None]
+    )
+    dXrow = jnp.zeros((nI, _SB, L * C), X.dtype).at[I].add(dxr)
+    dYcol = jnp.zeros((nJ, L * C, _LB), X.dtype).at[J].add(dyc)
+    dXp = (
+        dXrow.reshape(n_pad, L, C)
+        + jnp.transpose(dYcol, (0, 2, 1)).reshape(n_pad, L, C)
+    ) * scale
+    return Ksq, dXp
+
+
+def block_assemble(Ksq: jax.Array, dXp: jax.Array, n: int):
+    """Assemble the psum-reduced partials into ``(K [n, n], dX [n, L, C])``
+    with :func:`block_gram_and_grad`'s conventions (symmetrized K, halved
+    full-sum gradient)."""
+    nI, nJ = Ksq.shape[0], Ksq.shape[1]
+    n_pad = nJ * _LB
+    Kfull = jnp.transpose(Ksq, (0, 2, 1, 3)).reshape(n_pad, n_pad)[:n, :n]
+    bi = np.arange(n) // _LB
+    lower = jnp.asarray(bi[:, None] > bi[None, :])
+    K = jnp.where(lower, Kfull.T, Kfull)
+    return K, 0.5 * dXp[:n]

@@ -334,6 +334,41 @@ def sharded_dust_forward(
             s_all = lax.all_gather(s_local, axis, tiled=True)
             sig = sig_with_bw(tau_all)
 
+            from ..kernels.pallas_sigkernel_block import (
+                block_assemble, block_supported, block_tile_shard,
+                block_tiles_partial,
+            )
+
+            Lt, Ct = tau_all.shape[1], tau_all.shape[2]
+            if (
+                sig.dyadic_order == 0
+                and sig.static == "rbf"
+                and sig.bandwidth is not None
+                and block_supported(n_total, Lt, Ct, "rbf", True)
+            ):
+                # λ=0 fast path (r5): shard the block kernel's TILE schedule
+                # over the mesh instead of group-pair PDE blocks — each
+                # device runs its tile subset of the same fused kernel the
+                # single-chip solve uses (identical per-pair cost), and one
+                # psum pair reduces the partial K / pull-back sums. Without
+                # this the sharded λ=0 Gram pays the pair-list route's
+                # gather/scatter layer that the block kernel exists to
+                # remove (results/lambda0_profile_r5.json).
+                hh = jnp.asarray(sig.bandwidth, tau_all.dtype)
+                tI, tJ, tS, tW = block_tile_shard(n_total, ndev)
+                di = lax.axis_index(axis)
+                Ksq, dXp = block_tiles_partial(
+                    tau_all, hh, jnp.asarray(tI)[di], jnp.asarray(tJ)[di],
+                    jnp.asarray(tS)[di], jnp.asarray(tW)[di],
+                )
+                Ksq = lax.psum(Ksq, axis)
+                dXp = lax.psum(dXp, axis)
+                K, dtau_full = block_assemble(Ksq, dXp, n_total)
+                ks = lax.dynamic_slice_in_dim(K @ s_all, row0, n_local, 0)
+                dtau = lax.dynamic_slice_in_dim(dtau_full, row0, n_local, 0)
+                (grad_k,) = vjp_tau(dtau)
+                return ks, grad_k
+
             g = _triangle_groups(n_total, ndev)
             ng = n_total // g
             blocks = [(a, b) for a in range(g) for b in range(a, g)]

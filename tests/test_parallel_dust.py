@@ -538,3 +538,41 @@ def test_triangle_fine_granularity_matches_gather():
         np.asarray(cs_t.pol_mean), np.asarray(cs_g.pol_mean),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_sharded_dust_lambda0_block_tiles_identity():
+    """λ=0 signature mode routes the sharded triangle Gram through the
+    block kernel's tile-subset schedule (r5): per-device tile partials +
+    one psum pair must reproduce the single-device solve (which uses the
+    same fused kernel on the full schedule)."""
+    from sigsvgd_tpu.kernels import SignatureKernel
+
+    model = PendulumModel(dt=0.05)
+    ctrl = DuSt(
+        model=model,
+        hz_len=12,
+        n_pol=48,
+        kernel_mode="signature",
+        sig_kernel=SignatureKernel(
+            dyadic_order=0, bandwidth=4.0, solver="pallas_small"
+        ),
+        optimizer=None,
+        lr=0.05,
+        inst_cost_fn=model.swingup_inst_cost,
+        term_cost_fn=model.swingup_term_cost,
+    )
+    key = jax.random.PRNGKey(11)
+    cstate = ctrl.init(key)
+    state = jnp.asarray([jnp.pi, 0.0])
+    a_single, cs_single, _ = ctrl.forward(state, cstate, None, key, opt_steps=1)
+    mesh = make_mesh()
+    a_shard, cs_shard = sharded_dust_forward(
+        ctrl, state, cstate, key, 1, mesh, gram_mode="triangle"
+    )
+    np.testing.assert_allclose(
+        np.asarray(a_shard), np.asarray(a_single), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cs_shard.pol_mean), np.asarray(cs_single.pol_mean),
+        rtol=2e-3, atol=2e-4,
+    )
