@@ -491,6 +491,35 @@ def bench_torch_cpu_signature_fit(sizes=(8, 16, 24, 32, 48, 64),
     }
 
 
+def _calibration_drift_check(n_steps: int = 8, tol: float = 1e-3):
+    """Post-measurement recalibration monitor (ADVICE r4): the dyadic-order
+    calibration is one-shot on warm-up paths, so after the measured MPC
+    steps, re-evaluate the z³ truncation bound on the EVOLVED particles'
+    τ paths and report whether the λ=0 choice still clears tolerance."""
+    jax, jnp = _STATE["jax"], _STATE["jnp"]
+    ctrl = _STATE["ctrl_sig"]
+    if ctrl.sig_kernel.dyadic_order != 0:
+        return None
+    model, q_start = _STATE["model"], _STATE["q_start"]
+    key = jax.random.PRNGKey(3)
+    cs = ctrl.init(key)
+    state = q_start
+    fwd = jax.jit(
+        lambda s, c, k: ctrl.forward(s, c, None, k, opt_steps=OPT_STEPS)
+    )
+    for k in jax.random.split(key, n_steps):
+        a_seq, cs, _ = fwd(state, cs, k)
+        state = model.step(state[None], a_seq[0:1])[0]
+    _c, trs = ctrl._rollout_costs(state, cs.pol_mean, None)
+    bound = float(ctrl.sig_kernel.calibration_bound(ctrl._tau(trs)))
+    return {
+        "z3_bound_after_steps": bound,
+        "n_mpc_steps": n_steps,
+        "tol": tol,
+        "within_tolerance": bool(bound <= tol),
+    }
+
+
 def _run_parity_replay(timeout_s: int = 600):
     """Run the maze 20-step step-locked replay vs the imported torch
     reference (tests/test_reference_parity.py) in a CPU subprocess and
@@ -615,6 +644,11 @@ def main():
     except Exception:
         mc_rate = None
 
+    try:
+        drift = _calibration_drift_check()
+    except Exception:
+        drift = None
+
     # control-parity artifact (VERDICT r4 item 5): run the step-locked maze
     # replay vs the imported torch reference in a CPU subprocess (tests must
     # not run over the TPU tunnel) and embed the MSE
@@ -706,6 +740,7 @@ def main():
                 ),
                 "stages_ms": {k: round(v, 2) for k, v in stages.items()},
                 "sig_dyadic_order_calibrated": cal_order,
+                "calibration_drift_check": drift,
                 "solves_per_s_dyadic3_pinned": (
                     round(pinned_rate, 3) if pinned_rate else None
                 ),

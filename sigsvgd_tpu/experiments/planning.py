@@ -136,7 +136,7 @@ class PlannerConfig:
     """Hyperparameters (defaults = reference flagship run,
     ``script_planning_robot.py:509-531``)."""
 
-    method: str = "pathsig"  # pathsig | svgd | sgd | ps_sgd
+    method: str = "pathsig"  # pathsig | svgd | svgd_med | sgd | ps_sgd
     n_iter: int = 500
     batch: int = 20
     length: int = 5  # total knots incl. endpoints
@@ -186,7 +186,19 @@ def run_optimisation(
         return smoothed_box_log_prob(x, lower, upper, 0.1).sum(-1)
 
     if config.method == "svgd":
+        # reference parity: fixed svgd_bw=1.5 (script_planning_robot.py:518).
+        # NOTE this makes RBF-SVGD numerically DEGENERATE here: over 21-dim
+        # knot particles drawn across the joint limits, pairwise d² >> h²,
+        # so K ≈ I and the repulsion vanishes — svgd ≡ sgd to every printed
+        # digit in the flagship sweep. The `svgd_med` ablation method below
+        # quantifies what a non-degenerate bandwidth changes.
         kernel = GaussianKernel(bandwidth_fn=lambda _: config.svgd_bw)
+        score = svgd_score(problem.batch_cost, kernel)
+    elif config.method == "svgd_med":
+        # median-heuristic bandwidth (the reference's own alternative at
+        # script_planning_robot.py:389, (length+channels)**0.5-scaled
+        # median): K is non-trivial and the Stein repulsion acts
+        kernel = GaussianKernel()
         score = svgd_score(problem.batch_cost, kernel)
     elif config.method == "sgd":
         score = sgd_score(problem.batch_cost)
@@ -225,7 +237,7 @@ def run_optimisation(
         # the whole run one program. Ask the kernel itself which solver the
         # ACTUAL Gram shape dispatches to (the paths it grams are the free
         # knots x [batch, n_free, dof], so the grid edge is n_free - 1).
-        scan_safe = config.method in ("svgd", "sgd") or (
+        scan_safe = config.method in ("svgd", "svgd_med", "sgd") or (
             kernel._solver_kind(n_free - 1, n_free - 1) != "wavefront"
         )
         host_loop = (config.batch * config.batch > 200_000) and not scan_safe

@@ -60,14 +60,21 @@ _I6 = 1.0 / 6.0
 
 def small_supported(lx1: int, ly1: int, dyadic_order: int, n_channels: int,
                     static: str, h) -> bool:
-    """Shapes the λ=0 fused kernel accepts. ly1 bounds the carried-row
-    scratch (~10 × [ly, 16, 128] buffers ≈ 5 MB at ly1=63); lx1 is
-    unbounded (rows stream; the dzfac residual is the only O(lx1) state
-    and lives in HBM)."""
+    """Shapes the λ=0 fused kernel accepts. lx1 is unbounded (rows stream;
+    the dzfac residual is the only O(lx1) state and lives in HBM). The
+    backward's VMEM footprint is a JOINT function of ly1 and C (ADVICE r4):
+    six [ly, 16, 128] row buffers, the [ly, C, 16, 128] dY accumulator,
+    and the double-buffered xg/yg/dyg blocks (~3C more ly-rows) — so the
+    envelope bounds ``(10 + 3·C)·ly`` row-tiles against a 12 MB budget
+    instead of ly1 alone (ly1=63 × C=8 would demand ~16 MB and fail Mosaic
+    allocation)."""
+    ly = ly1 + 1
+    vmem = (10 + 3 * n_channels) * ly * 16 * 128 * 4
     return (
         dyadic_order == 0
         and ly1 <= 63
         and n_channels <= 8
+        and vmem <= 12 * 2**20
         and static == "rbf"
         and h is not None
     )

@@ -1040,6 +1040,25 @@ class SignatureKernel:
         returned unchanged."""
         if self.dyadic_order == 0:
             return self
+        err0 = float(self.calibration_bound(X, n_sample))
+        if err0 <= tol:
+            return dataclasses.replace(self, dyadic_order=0)
+        return self
+
+    def calibration_bound(self, X: jax.Array, n_sample: int = 32) -> jax.Array:
+        """The z³ truncation bound :meth:`calibrate_dyadic_order` thresholds
+        (worst-case Σ|z|³ over a path subsample, ×4 safety). Jittable.
+
+        Drift monitoring (ADVICE r4): the calibration is a one-shot
+        measurement on warm-up paths, but SVGD/MPC particles evolve — if
+        they spread, the bound can exceed tolerance later with nothing
+        re-checking it. The order is a static grid shape, so it cannot
+        switch inside a jitted solve; instead, callers on the calibrated
+        λ=0 path should periodically (every N MPC steps, outside jit)
+        evaluate this bound on current solve inputs and rebuild the
+        controller with the configured order when it exceeds the
+        calibration tolerance. ``bench.py`` reports such a drift check
+        after its measured solves (``calibration_drift_check``)."""
         Xs = X[: min(n_sample, X.shape[0])]
         if self.static == "linear":
             g = static_gram_linear(Xs, Xs)
@@ -1051,7 +1070,4 @@ class SignatureKernel:
             g = jnp.exp(-d2 / h)
         z = gram_increments(g)
         # 4x safety: O(1) truncation constant + subsample coverage
-        err0 = 4.0 * float(jnp.max(jnp.sum(jnp.abs(z) ** 3, axis=(-2, -1))))
-        if err0 <= tol:
-            return dataclasses.replace(self, dyadic_order=0)
-        return self
+        return 4.0 * jnp.max(jnp.sum(jnp.abs(z) ** 3, axis=(-2, -1)))

@@ -95,6 +95,10 @@ def test_small_supported_envelope():
     assert not small_supported(39, 70, 0, 2, "rbf", 4.0)  # row buffers
     assert not small_supported(39, 39, 0, 9, "rbf", 4.0)  # channels
     assert not small_supported(39, 39, 0, 2, "linear", None)  # statics
+    # joint ly·C VMEM bound (ADVICE r4): the envelope edge ly1=63 is only
+    # admissible while (10+3C)·ly row tiles fit the 12 MB budget
+    assert small_supported(39, 63, 0, 2, "rbf", 4.0)
+    assert not small_supported(39, 63, 0, 8, "rbf", 4.0)
 
 
 def test_calibrate_dyadic_order(rng):
