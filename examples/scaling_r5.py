@@ -88,14 +88,15 @@ def measure_tpu():
     )
     out["lambda0_block_full_ms"] = dt * 1e3
     out["lambda0_block_tiles"] = blk.n_block_tiles(N_POL)
+    s_all = jnp.asarray(rng.normal(size=(N_POL, 280)).astype(np.float32))
     per_dev = {}
     for nd in (2, 4, 8):
         I, J, S, W = blk.block_tile_shard(N_POL, nd)
         Ii, Ji, Si, Wi = (jnp.asarray(a[0]) for a in (I, J, S, W))
 
         def dev(x):
-            ksq, dxp = blk.block_tiles_partial(x, h, Ii, Ji, Si, Wi)
-            return dxp[0, 0, 0] + ksq[0, 0, 0, 0]
+            ks, dxp = blk.block_tiles_ks_partial(x, h, s_all, Ii, Ji, Si, Wi)
+            return dxp[0, 0, 0] + ks[0, 0]
 
         dt = _chain_time(dev, X, 6)
         per_dev[str(nd)] = {"tiles": int(I.shape[1]), "ms": dt * 1e3}
@@ -107,8 +108,7 @@ def measure_tpu():
     total = iu.shape[0]
     lam3 = {}
     for frac, name in ((1, "525k"), (4, "131k"), (8, "66k")):
-        k = total // frac
-        k = -(-k // 2048) * 2048
+        k = max(2048, (total // frac) // 2048 * 2048)
         ix = jnp.asarray(iu[:k])
         iy = jnp.asarray(ju[:k])
         w = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
@@ -242,7 +242,7 @@ def build_model(m):
             pay = (
                 N_POL * L * C * 4            # all_gather tau
                 + N_POL * 280 * 4            # all_gather scores
-                + 1024 * 1024 * 4            # psum Ksq (n_pad^2)
+                + N_POL * 280 * 4            # psum ks partial
                 + N_POL * L * C * 4          # psum dXp
             )
         else:

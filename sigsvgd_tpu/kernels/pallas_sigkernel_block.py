@@ -474,19 +474,25 @@ def block_tile_shard(n: int, ndev: int):
     )
 
 
-def block_tiles_partial(X: jax.Array, h: jax.Array, I: jax.Array,
-                        J: jax.Array, seed: jax.Array, w: jax.Array):
-    """Per-device partial Gram+grad over an explicit tile subset.
+def block_tiles_ks_partial(X: jax.Array, h: jax.Array, s: jax.Array,
+                           I: jax.Array, J: jax.Array, seed: jax.Array,
+                           w: jax.Array):
+    """Per-device partial ``K@s`` and pull-back gradient over a tile subset.
 
-    ``X [n, L, C]`` is the FULL (replicated) path batch; ``I/J/seed/w`` are
-    this device's tile lists from :func:`block_tile_shard` (traced values —
-    they differ per device under shard_map). Returns partial sums
-    ``(Ksq [nI, nJ, 16, 128], dXp [n_pad, L, C])`` that the caller psums
-    over the mesh and feeds to :func:`block_assemble`."""
+    ``X [n, L, C]`` is the FULL (replicated) path batch, ``s [n, d]`` the
+    gathered score matrix; ``I/J/seed/w`` are this device's tile lists from
+    :func:`block_tile_shard` (traced values — they differ per device under
+    shard_map). The full Gram is never materialized: each tile contributes
+    ``k_t @ s[J]`` to its row block and — for strictly-upper tiles, which
+    stand for their transposes — ``k_tᵀ @ s[I]`` to its column block.
+    Returns partial sums ``(ks [n_pad, d], dX [n_pad, L, C])``; psum both
+    over the mesh, slice ``[:n]``, and halve dX for the
+    :func:`block_gram_and_grad` repulsion convention."""
     n, L, C = X.shape
     n_pad = _cdiv(n, _LB) * _LB
     nI, nJ = n_pad // _SB, n_pad // _LB
     Xp = jnp.zeros((n_pad, L, C), X.dtype).at[:n].set(X)
+    sp = jnp.zeros((n_pad, s.shape[1]), s.dtype).at[:n].set(s)
     scale = jnp.sqrt(2.0 / h).astype(X.dtype)
     Xs = Xp * scale
     xb = Xs.reshape(nI, _SB, L * C)[I]
@@ -499,8 +505,17 @@ def block_tiles_partial(X: jax.Array, h: jax.Array, I: jax.Array,
     m = (rows[:, :, None] < n) & (cols[:, None, :] < n)
     ms = m.astype(X.dtype) * (seed * w)[:, None, None]
     k_t, dxr, dyc = _block_call(X, h, xb, yb, ms)
-    Ksq = jnp.zeros((nI, nJ, _SB, _LB), X.dtype).at[I, J].add(
-        k_t * w[:, None, None]
+    k_t = k_t * jnp.where(m, 1.0, 0.0)  # padded pairs carry garbage K
+    s_rows = sp.reshape(nI, _SB, -1)
+    s_cols = sp.reshape(nJ, _LB, -1)
+    ks_r = jnp.einsum("tsl,tld->tsd", k_t, s_cols[J]) * w[:, None, None]
+    ks_c = jnp.einsum("tsl,tsd->tld", k_t, s_rows[I]) * (
+        w * (seed - 1.0)
+    )[:, None, None]
+    ks = (
+        jnp.zeros((nI, _SB, sp.shape[1]), X.dtype).at[I].add(ks_r)
+        .reshape(n_pad, -1)
+        .reshape(nJ, _LB, -1).at[J].add(ks_c).reshape(n_pad, -1)
     )
     dXrow = jnp.zeros((nI, _SB, L * C), X.dtype).at[I].add(dxr)
     dYcol = jnp.zeros((nJ, L * C, _LB), X.dtype).at[J].add(dyc)
@@ -508,17 +523,4 @@ def block_tiles_partial(X: jax.Array, h: jax.Array, I: jax.Array,
         dXrow.reshape(n_pad, L, C)
         + jnp.transpose(dYcol, (0, 2, 1)).reshape(n_pad, L, C)
     ) * scale
-    return Ksq, dXp
-
-
-def block_assemble(Ksq: jax.Array, dXp: jax.Array, n: int):
-    """Assemble the psum-reduced partials into ``(K [n, n], dX [n, L, C])``
-    with :func:`block_gram_and_grad`'s conventions (symmetrized K, halved
-    full-sum gradient)."""
-    nI, nJ = Ksq.shape[0], Ksq.shape[1]
-    n_pad = nJ * _LB
-    Kfull = jnp.transpose(Ksq, (0, 2, 1, 3)).reshape(n_pad, n_pad)[:n, :n]
-    bi = np.arange(n) // _LB
-    lower = jnp.asarray(bi[:, None] > bi[None, :])
-    K = jnp.where(lower, Kfull.T, Kfull)
-    return K, 0.5 * dXp[:n]
+    return ks, dXp

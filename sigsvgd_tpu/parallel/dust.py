@@ -335,8 +335,7 @@ def sharded_dust_forward(
             sig = sig_with_bw(tau_all)
 
             from ..kernels.pallas_sigkernel_block import (
-                block_assemble, block_supported, block_tile_shard,
-                block_tiles_partial,
+                block_supported, block_tile_shard, block_tiles_ks_partial,
             )
 
             Lt, Ct = tau_all.shape[1], tau_all.shape[2]
@@ -349,23 +348,24 @@ def sharded_dust_forward(
                 # λ=0 fast path (r5): shard the block kernel's TILE schedule
                 # over the mesh instead of group-pair PDE blocks — each
                 # device runs its tile subset of the same fused kernel the
-                # single-chip solve uses (identical per-pair cost), and one
-                # psum pair reduces the partial K / pull-back sums. Without
-                # this the sharded λ=0 Gram pays the pair-list route's
-                # gather/scatter layer that the block kernel exists to
-                # remove (results/lambda0_profile_r5.json).
+                # single-chip solve uses (identical per-pair cost), K@s is
+                # formed per tile (the Gram never materializes), and one
+                # psum pair reduces the partial ks / pull-back sums.
+                # Without this the sharded λ=0 Gram pays the pair-list
+                # route's gather/scatter layer that the block kernel exists
+                # to remove (results/lambda0_profile_r5.json).
                 hh = jnp.asarray(sig.bandwidth, tau_all.dtype)
                 tI, tJ, tS, tW = block_tile_shard(n_total, ndev)
                 di = lax.axis_index(axis)
-                Ksq, dXp = block_tiles_partial(
-                    tau_all, hh, jnp.asarray(tI)[di], jnp.asarray(tJ)[di],
+                ks_p, dXp = block_tiles_ks_partial(
+                    tau_all, hh, s_all,
+                    jnp.asarray(tI)[di], jnp.asarray(tJ)[di],
                     jnp.asarray(tS)[di], jnp.asarray(tW)[di],
                 )
-                Ksq = lax.psum(Ksq, axis)
+                ks_p = lax.psum(ks_p, axis)
                 dXp = lax.psum(dXp, axis)
-                K, dtau_full = block_assemble(Ksq, dXp, n_total)
-                ks = lax.dynamic_slice_in_dim(K @ s_all, row0, n_local, 0)
-                dtau = lax.dynamic_slice_in_dim(dtau_full, row0, n_local, 0)
+                ks = lax.dynamic_slice_in_dim(ks_p, row0, n_local, 0)
+                dtau = 0.5 * lax.dynamic_slice_in_dim(dXp, row0, n_local, 0)
                 (grad_k,) = vjp_tau(dtau)
                 return ks, grad_k
 

@@ -72,3 +72,37 @@ def test_block_supported_envelope():
     assert not block_supported(64, 40, 9, "rbf", 4.0)       # channels
     assert not block_supported(64, 65, 2, "rbf", 4.0)       # L*C lane tile
     assert not block_supported(64, 43, 3, "rbf", 4.0)       # L*C = 129
+
+
+def test_block_tiles_ks_partial_matches_full(rng):
+    """Sharded tile subsets: per-device K@s + pull-back partials summed over
+    the shard equal the full-schedule gram_and_grad (K@s formed without
+    materializing K; dX halved by the caller)."""
+    import jax.numpy as jnp
+    from sigsvgd_tpu.kernels.pallas_sigkernel_block import (
+        block_tile_shard, block_tiles_ks_partial,
+    )
+
+    n, L, C, d = 70, 9, 2, 5
+    X = jnp.asarray(rng.normal(size=(n, L, C)).astype(np.float32) * 0.3)
+    s = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    h = jnp.asarray(3.0, jnp.float32)
+    K, dX = block_gram_and_grad(X, h)
+    want_ks = np.asarray(K @ s)
+    I, J, S, W = block_tile_shard(n, 3)
+    ks_sum = dx_sum = 0.0
+    for dev in range(3):
+        ks_p, dx_p = block_tiles_ks_partial(
+            X, h, s, jnp.asarray(I[dev]), jnp.asarray(J[dev]),
+            jnp.asarray(S[dev]), jnp.asarray(W[dev]),
+        )
+        ks_sum = ks_sum + ks_p
+        dx_sum = dx_sum + dx_p
+    np.testing.assert_allclose(
+        np.asarray(ks_sum)[:n], want_ks, rtol=2e-4, atol=2e-5
+    )
+    scale = float(np.abs(np.asarray(dX)).max())
+    np.testing.assert_allclose(
+        np.asarray(0.5 * dx_sum[:n]) / scale, np.asarray(dX) / scale,
+        atol=5e-6,
+    )
