@@ -86,7 +86,8 @@ def run_dust(
     }
 
 
-def run_disco(steps: int = 200, horizon: int = 30, n_actions: int = 256, seed: int = 0):
+def run_disco(steps: int = 200, horizon: int = 30, n_actions: int = 256,
+              n_pol: int = 1, seed: int = 0):
     model = PendulumModel(dt=0.05)
     # swing-up needs wide exploration: sigma=3 torque noise, low temperature
     # (tuned on-device; H=20/sigma=1 fails to pump enough energy)
@@ -94,6 +95,7 @@ def run_disco(steps: int = 200, horizon: int = 30, n_actions: int = 256, seed: i
         model=model,
         hz_len=horizon,
         n_actions=n_actions,
+        n_pol=n_pol,
         pol_cov=((9.0,),),
         temperature=0.2,
         ctrl_penalty=1.0,
@@ -142,7 +144,7 @@ def main():
     if args.controller == "dust":
         res = run_dust(steps=args.steps, n_pol=args.n_pol)
     else:
-        res = run_disco(steps=args.steps)
+        res = run_disco(steps=args.steps, n_pol=args.n_pol)
     print(
         json.dumps(
             {

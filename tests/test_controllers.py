@@ -56,7 +56,10 @@ def test_disco_drives_point_mass_to_goal():
     assert dist < 0.5, f"DISCO did not reach goal, dist={dist}"
 
 
-def test_disco_param_sampling_and_utf_paths():
+@pytest.mark.parametrize("n_pol", [1, 3])
+def test_disco_param_sampling_and_utf_paths(n_pol):
+    """MC-parameter and sigma-point rollouts, single policy and ensemble
+    (the reference's multi-policy a_mat path, ``disco.py:213-216``)."""
     model = PendulumModel(dt=0.05)
     dist = du.Gaussian(
         mean=jnp.asarray([9.8, 1.0, 1.0]), cov=jnp.eye(3) * 0.01
@@ -69,6 +72,7 @@ def test_disco_param_sampling_and_utf_paths():
             model=model,
             hz_len=10,
             n_actions=32,
+            n_pol=n_pol,
             temperature=1.0,
             inst_cost_fn=model.swingup_inst_cost,
             term_cost_fn=model.swingup_term_cost,
@@ -77,8 +81,10 @@ def test_disco_param_sampling_and_utf_paths():
         cstate = ctrl.init()
         state = jnp.asarray([jnp.pi, 0.0])
         cstate, data = jax.jit(ctrl.forward)(state, cstate, dist, jax.random.PRNGKey(1))
+        assert data.costs.shape == (32, n_pol)
         assert np.isfinite(np.asarray(data.costs)).all()
         assert np.isfinite(np.asarray(cstate.a_seq)).all()
+        np.testing.assert_allclose(float(cstate.a_mix.sum()), 1.0, atol=1e-5)
 
 
 def test_dust_point_mass_autograd_path():
