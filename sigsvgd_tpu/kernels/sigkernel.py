@@ -958,7 +958,8 @@ class SignatureKernel:
         """
         n, L = X.shape[0], X.shape[1]
         lx1 = ly1 = L - 1
-        if self._solver_kind(lx1, ly1) == "pallas_small":
+        kind = self._solver_kind(lx1, ly1)
+        if kind == "pallas_small":
             from .pallas_sigkernel_block import (
                 block_gram_and_grad, block_supported,
             )
@@ -972,6 +973,18 @@ class SignatureKernel:
                 # for the layer split that motivated it).
                 h = self._subsampled_bandwidth(X, X)
                 return block_gram_and_grad(X, h)
+        if kind == "pallas" and self.grad_precision == "fp32":
+            from .pallas_sigkernel_block3 import (
+                block3_gram_and_grad, block3_supported,
+            )
+
+            if block3_supported(n, L, X.shape[2], self.static, True):
+                # dyadic-3 block route (r5): the same band-sweep kernels fed
+                # by block-resident paths — kernel-time parity with the
+                # pair-list route single-chip, but no gather/scatter layer
+                # and tile-subset shardability (results/scaling_r5.json).
+                h = self._subsampled_bandwidth(X, X)
+                return block3_gram_and_grad(X, h)
         if self._dense_grad_ok(n, lx1):
             def total(x):
                 k = self.gram(x, lax.stop_gradient(x))

@@ -337,8 +337,37 @@ def sharded_dust_forward(
             from ..kernels.pallas_sigkernel_block import (
                 block_supported, block_tile_shard, block_tiles_ks_partial,
             )
+            from ..kernels.pallas_sigkernel_block3 import (
+                block3_supported, block3_tiles_ks_partial,
+            )
 
             Lt, Ct = tau_all.shape[1], tau_all.shape[2]
+            if (
+                sig.dyadic_order == 3
+                and sig.static == "rbf"
+                and sig.bandwidth is not None
+                and sig.grad_precision == "fp32"
+                and sig._solver_kind(Lt - 1, Lt - 1) == "pallas"
+                and block3_supported(n_total, Lt, Ct, "rbf", True)
+            ):
+                # dyadic-3 block-tile shards (r5): each device runs its tile
+                # subset of the SAME fused band kernels the single chip
+                # uses, instead of the unfused dense-block scan (measured
+                # 1.2x faster per device — results/scaling_r5.json)
+                hh = jnp.asarray(sig.bandwidth, tau_all.dtype)
+                tI, tJ, tS, tW = block_tile_shard(n_total, ndev)
+                di = lax.axis_index(axis)
+                ks_p, dXp = block3_tiles_ks_partial(
+                    tau_all, hh, s_all,
+                    jnp.asarray(tI)[di], jnp.asarray(tJ)[di],
+                    jnp.asarray(tS)[di], jnp.asarray(tW)[di],
+                )
+                ks_p = lax.psum(ks_p, axis)
+                dXp = lax.psum(dXp, axis)
+                ks = lax.dynamic_slice_in_dim(ks_p, row0, n_local, 0)
+                dtau = 0.5 * lax.dynamic_slice_in_dim(dXp, row0, n_local, 0)
+                (grad_k,) = vjp_tau(dtau)
+                return ks, grad_k
             if (
                 sig.dyadic_order == 0
                 and sig.static == "rbf"

@@ -576,3 +576,41 @@ def test_sharded_dust_lambda0_block_tiles_identity():
         np.asarray(cs_shard.pol_mean), np.asarray(cs_single.pol_mean),
         rtol=2e-3, atol=2e-4,
     )
+
+
+def test_sharded_dust_lambda3_block_tiles_identity():
+    """dyadic-3 signature mode with the pallas solver routes the sharded
+    triangle Gram through the block3 tile-subset schedule (r5): per-device
+    partials + one psum pair must reproduce the single-device solve (which
+    takes the single-device block3 route)."""
+    from sigsvgd_tpu.kernels import SignatureKernel
+
+    model = PendulumModel(dt=0.05)
+    ctrl = DuSt(
+        model=model,
+        hz_len=8,
+        n_pol=32,
+        kernel_mode="signature",
+        sig_kernel=SignatureKernel(
+            dyadic_order=3, bandwidth=4.0, solver="pallas"
+        ),
+        optimizer=None,
+        lr=0.05,
+        inst_cost_fn=model.swingup_inst_cost,
+        term_cost_fn=model.swingup_term_cost,
+    )
+    key = jax.random.PRNGKey(13)
+    cstate = ctrl.init(key)
+    state = jnp.asarray([jnp.pi, 0.0])
+    a_single, cs_single, _ = ctrl.forward(state, cstate, None, key, opt_steps=1)
+    mesh = make_mesh()
+    a_shard, cs_shard = sharded_dust_forward(
+        ctrl, state, cstate, key, 1, mesh, gram_mode="triangle"
+    )
+    np.testing.assert_allclose(
+        np.asarray(a_shard), np.asarray(a_single), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cs_shard.pol_mean), np.asarray(cs_single.pol_mean),
+        rtol=2e-3, atol=2e-4,
+    )
